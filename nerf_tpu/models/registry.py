@@ -1,0 +1,38 @@
+"""Model registry: name -> constructor, mirroring the reference's model
+selection by lowercased ``model_type`` with an error on unknown types
+(/root/reference/train.py:100-105)."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from nerf_tpu.models.nerf import NeRFModel
+from nerf_tpu.models.siren import SirenModel
+
+MODEL_REGISTRY: dict[str, Callable] = {
+    "nerf": NeRFModel,
+    "siren": SirenModel,
+}
+
+
+def create_model(model_type: str, **kwargs):
+    model_type = model_type.lower()
+    if model_type not in MODEL_REGISTRY:
+        raise ValueError(f"Invalid model type: {model_type}")
+    cls = MODEL_REGISTRY[model_type]
+    # Only forward kwargs the model understands (configs carry shared knobs).
+    import dataclasses
+
+    names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in kwargs.items() if k in names})
+
+
+def model_from_config(cfg) -> object:
+    """Build a model from a `nerf_tpu.config.Config`."""
+    common = dict(
+        hidden_dim=cfg.hidden_dim,
+        pos_encoding_dim=cfg.pos_encoding_dim,
+        dir_encoding_dim=cfg.dir_encoding_dim,
+        compute_dtype=cfg.compute_dtype,
+    )
+    return create_model(cfg.model_type, **common)

@@ -1,0 +1,220 @@
+"""Volumetric renderer: sample -> query -> composite, fully batched.
+
+Capability-equivalent to the reference renderer
+(/root/reference/nerf/rendering.py:156-226) with two structural differences
+that make it TPU-native rather than a port:
+
+  * No Python chunk loop in the training path. The reference loops over
+    ``chunk_size`` ray chunks in Python (rendering.py:191) purely to bound
+    GPU memory; here a training batch is rendered in ONE traced computation
+    so XLA sees a single static graph (batch x samples points through the
+    MLP), which is what lets the whole step fuse and the Pallas kernel tile
+    it. Full-image renders use ``jax.lax.map`` over fixed-size ray tiles
+    (`render_image`) — the same memory bound, but inside the compiled
+    program instead of the host.
+
+  * Hierarchical coarse/fine sampling (absent in the reference, which is
+    coarse-only) with chip-local inverse-CDF resampling.
+
+Numerics match the reference: single shared-or-per-ray stratified jitter,
+deltas with the 1e10 tail, componentwise [near,far]->[-1,1] position
+normalization before the model query, exclusive-cumprod transmittance, and
+optional white-background compositing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.ops.sampling import (
+    deltas_from_t,
+    merge_samples,
+    normalize_positions,
+    sample_pdf,
+    sample_positions,
+    stratified_sample,
+)
+from nerf_tpu.ops.volume import composite
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    """Static (hashable) render options — safe to close over under jit."""
+
+    near: float = 2.0
+    far: float = 6.0
+    num_samples: int = 256
+    num_fine_samples: int = 0        # >0 enables hierarchical sampling
+    white_background: bool = True
+    jitter_mode: str = "per_ray"     # "per_ray" | "shared" (reference parity)
+    perturb: bool = True             # False => deterministic midpoint samples
+    chunk_size: int = 8192           # ray tile size for full-image renders
+    normalize_positions: bool = True  # the reference's [near,far]->[-1,1] map
+
+
+class RenderOutput(NamedTuple):
+    rgb: jax.Array                 # (R, 3) final color (fine if hierarchical)
+    depth: jax.Array               # (R,)
+    acc: jax.Array                 # (R,)
+    disparity: jax.Array           # (R,)
+    rgb_coarse: jax.Array          # (R, 3) coarse color (== rgb if coarse-only)
+
+
+ApplyFn = Callable[[dict, jax.Array, jax.Array], tuple[jax.Array, jax.Array]]
+
+
+def _query(
+    apply_fn: ApplyFn,
+    params: dict,
+    points: jax.Array,       # (R, S, 3) world-space sample positions
+    viewdirs: jax.Array,     # (R, 3) unit view directions
+    settings: RenderSettings,
+) -> tuple[jax.Array, jax.Array]:
+    """Normalize positions and evaluate the field; returns (rgb, sigma) with
+    shapes (R, S, 3) and (R, S)."""
+    if settings.normalize_positions:
+        points = normalize_positions(points, settings.near, settings.far)
+    num_samples = points.shape[-2]
+    dirs = jnp.broadcast_to(viewdirs[..., None, :], points.shape)
+    return apply_fn(params, points, dirs)
+
+
+def _render_pass(
+    apply_fn: ApplyFn,
+    params: dict,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    viewdirs: jax.Array,
+    t: jax.Array,
+    settings: RenderSettings,
+):
+    points = sample_positions(rays_o, rays_d, t)
+    rgb, sigma = _query(apply_fn, params, points, viewdirs, settings)
+    deltas = deltas_from_t(t)
+    out = composite(
+        rgb, sigma, deltas, t=t, white_background=settings.white_background
+    )
+    return out
+
+
+def render_rays(
+    apply_fn: ApplyFn,
+    params: dict,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    key: jax.Array,
+    settings: RenderSettings,
+    fine_params: Optional[dict] = None,
+    viewdirs: Optional[jax.Array] = None,
+) -> RenderOutput:
+    """Render a batch of rays. Jittable; no data-dependent control flow.
+
+    Args:
+      apply_fn: ``(params, points, dirs) -> (rgb, sigma)`` field evaluator.
+      rays_o/rays_d: (R, 3). ``rays_d`` need not be unit length (NDC rays
+        aren't); ``viewdirs`` defaults to normalized ``rays_d`` and is what
+        the view-dependent branch sees.
+      key: PRNG key for stratified jitter + inverse-CDF sampling.
+      fine_params: parameters for the fine pass (defaults to ``params``).
+    """
+    num_rays = rays_o.shape[0]
+    if viewdirs is None:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    k_coarse, k_fine = jax.random.split(key)
+    t = stratified_sample(
+        k_coarse,
+        settings.near,
+        settings.far,
+        settings.num_samples,
+        num_rays,
+        jitter_mode=settings.jitter_mode,
+        perturb=settings.perturb,
+    )
+    coarse = _render_pass(apply_fn, params, rays_o, rays_d, viewdirs, t, settings)
+
+    if settings.num_fine_samples <= 0:
+        return RenderOutput(
+            rgb=coarse.rgb,
+            depth=coarse.depth,
+            acc=coarse.acc,
+            disparity=coarse.disparity,
+            rgb_coarse=coarse.rgb,
+        )
+
+    # Hierarchical pass: importance-sample the coarse weights (chip-local).
+    t_mid = 0.5 * (t[..., 1:] + t[..., :-1])
+    w_mid = jax.lax.stop_gradient(coarse.weights[..., 1:-1])
+    t_fine = sample_pdf(
+        k_fine,
+        t_mid,
+        w_mid,
+        settings.num_fine_samples,
+        deterministic=not settings.perturb,
+    )
+    t_all = merge_samples(t, jax.lax.stop_gradient(t_fine))
+
+    fine = _render_pass(
+        apply_fn,
+        fine_params if fine_params is not None else params,
+        rays_o,
+        rays_d,
+        viewdirs,
+        t_all,
+        settings,
+    )
+    return RenderOutput(
+        rgb=fine.rgb,
+        depth=fine.depth,
+        acc=fine.acc,
+        disparity=fine.disparity,
+        rgb_coarse=coarse.rgb,
+    )
+
+
+def render_image(
+    apply_fn: ApplyFn,
+    params: dict,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    key: jax.Array,
+    settings: RenderSettings,
+    fine_params: Optional[dict] = None,
+    viewdirs: Optional[jax.Array] = None,
+) -> RenderOutput:
+    """Render many rays (e.g. a full image) under a fixed memory bound.
+
+    The reference bounds memory with a host-side Python loop over
+    ``chunk_size`` chunks (rendering.py:191); here the loop is a
+    ``jax.lax.map`` over equal ray tiles inside the compiled program — one
+    compilation, sequential tile execution, no host round-trips. Rays are
+    padded up to a tile multiple and the padding is stripped after.
+    """
+    total = rays_o.shape[0]
+    tile = min(settings.chunk_size, total) if total > 0 else settings.chunk_size
+    num_tiles = -(-total // tile)
+    pad = num_tiles * tile - total
+
+    if viewdirs is None:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    def pad_tile(x):
+        x = jnp.concatenate([x, jnp.ones((pad,) + x.shape[1:], x.dtype)], axis=0)
+        return x.reshape(num_tiles, tile, *x.shape[1:])
+
+    ro, rd, vd = pad_tile(rays_o), pad_tile(rays_d), pad_tile(viewdirs)
+    keys = jax.random.split(key, num_tiles)
+
+    def render_tile(args):
+        k, o, d, v = args
+        return render_rays(
+            apply_fn, params, o, d, k, settings,
+            fine_params=fine_params, viewdirs=v,
+        )
+
+    out = jax.lax.map(render_tile, (keys, ro, rd, vd))
+    return RenderOutput(*(x.reshape(-1, *x.shape[2:])[:total] for x in out))

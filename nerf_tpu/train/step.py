@@ -1,0 +1,143 @@
+"""The jitted training step — the whole hot loop in one compiled program.
+
+The reference's per-iteration work (batch fetch -> H2D copy -> chunked
+render -> MSE -> backward -> Adam -> LR step, /root/reference/train.py:154-183)
+becomes ONE jit-compiled function of (TrainState, RayPool): on-device batch
+sampling, a single un-chunked render, value_and_grad, and the optax update,
+with the state donated so parameter/optimizer buffers update in place in
+HBM. Per-step randomness derives from ``fold_in(base_key, step)``, so runs
+are exactly reproducible and resume continues the same random sequence.
+
+Loss matches the reference: MSE of rendered vs target rgb (train.py:124,180);
+with hierarchical sampling the coarse MSE is added (original-NeRF style),
+which the coarse-only reference never reaches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.data.pipeline import RayBatch, RayPool
+from nerf_tpu.render.renderer import RenderSettings, render_image, render_rays
+from nerf_tpu.train.state import TrainState
+
+
+def resolve_apply_fn(model, use_pallas: bool = True) -> Callable:
+    """Pick the field evaluator: fused Pallas kernel on TPU when available
+    and applicable, else the pure-JAX reference path."""
+    if use_pallas:
+        try:
+            from nerf_tpu.ops.pallas import get_fused_apply
+
+            fused = get_fused_apply(model)
+            if fused is not None:
+                return fused
+        except Exception:
+            pass
+    return model.apply
+
+
+def make_train_step(
+    model,
+    tx,
+    settings: RenderSettings,
+    batch_size: int,
+    base_key: jax.Array,
+    use_pallas: bool = True,
+    data_sharding=None,
+    donate: bool = True,
+):
+    """Returns ``step(state, pool) -> (state, metrics)`` (jitted).
+
+    ``data_sharding`` optionally constrains the sampled ray batch onto the
+    mesh's data axis; with replicated params XLA then emits the gradient
+    all-reduce (psum over ICI) automatically.
+    """
+    apply_fn = resolve_apply_fn(model, use_pallas)
+
+    def loss_fn(param_pair, batch: RayBatch, key: jax.Array):
+        params, fine_params = param_pair
+        out = render_rays(
+            apply_fn,
+            params,
+            batch.rays_o,
+            batch.rays_d,
+            key,
+            settings,
+            fine_params=fine_params if fine_params else None,
+            viewdirs=batch.viewdirs,
+        )
+        mse = jnp.mean((out.rgb - batch.rgb) ** 2)
+        loss = mse
+        if settings.num_fine_samples > 0:
+            loss = loss + jnp.mean((out.rgb_coarse - batch.rgb) ** 2)
+        return loss, mse
+
+    def step(state: TrainState, pool: RayPool):
+        key = jax.random.fold_in(base_key, state.step)
+        k_sample, k_render = jax.random.split(key)
+
+        batch = pool.sample(k_sample, batch_size)
+        if data_sharding is not None:
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, data_sharding), batch
+            )
+
+        (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (state.params, state.fine_params), batch, k_render
+        )
+        updates, opt_state = tx.update(
+            grads, state.opt_state, (state.params, state.fine_params)
+        )
+        params, fine_params = jax.tree.map(
+            lambda p, u: p + u, (state.params, state.fine_params), updates
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            fine_params=fine_params,
+            opt_state=opt_state,
+        )
+        metrics = {
+            "loss": loss,
+            "mse": mse,
+            "psnr": -10.0 * jnp.log10(mse),
+        }
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_render(
+    model,
+    settings: RenderSettings,
+    use_pallas: bool = True,
+):
+    """Returns a jitted full-image renderer:
+    ``render(params, fine_params, rays_o, rays_d, key) -> RenderOutput``.
+    Memory is bounded by ``settings.chunk_size`` via lax.map tiling."""
+    apply_fn = resolve_apply_fn(model, use_pallas)
+
+    @jax.jit
+    def _render(params, fine_params, rays_o, rays_d, viewdirs, key):
+        return render_image(
+            apply_fn,
+            params,
+            rays_o,
+            rays_d,
+            key,
+            settings,
+            fine_params=fine_params if fine_params else None,
+            viewdirs=viewdirs,
+        )
+
+    def render(params, fine_params, rays_o, rays_d, key, viewdirs=None):
+        if viewdirs is None:
+            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        return _render(params, fine_params, rays_o, rays_d, viewdirs, key)
+
+    return render
