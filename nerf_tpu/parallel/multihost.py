@@ -1,0 +1,58 @@
+"""Multi-host execution helpers.
+
+The reference is single-process/single-device (train.py:98-99). Scale-out
+across hosts is the same training code after:
+
+    from nerf_tpu.parallel.multihost import init_distributed
+    init_distributed()            # jax.distributed over DCN
+    mesh = create_mesh()          # now spans all processes' devices
+
+Data feeding is per-host: each process loads (or slices) its shard of the
+ray pool and `global_pool_from_local` assembles a globally-sharded RayPool
+with `jax.make_array_from_process_local_data` — rays ride ICI within a
+slice, only the initial distribution crosses DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize jax.distributed (no-op when already initialized or when
+    running single-process). Arguments default to TPU auto-detection."""
+    if jax.process_count() > 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # single-process run (no coordinator configured) — fine.
+        pass
+
+
+def global_pool_from_local(local_pool, mesh, axis: str = "data"):
+    """Assemble a globally data-sharded RayPool from per-process local ray
+    arrays. Each process passes ITS OWN rays; the result is a global array
+    sharded over `axis` whose addressable shards are the local data."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        local_pool,
+    )
+
+
+def is_primary() -> bool:
+    """True on the process that should write checkpoints metadata/logs."""
+    return jax.process_index() == 0

@@ -163,6 +163,9 @@ def fit(
     # --- loop ---
     from tqdm import tqdm
 
+    from nerf_tpu.utils.profiling import Throughput
+
+    throughput = Throughput(warmup=2)
     step = start_step
     try:
         with tqdm(
@@ -170,10 +173,14 @@ def fit(
         ) as pbar:
             for step in range(start_step, num_iters):
                 state, metrics = train_step(state, scene.pool)
+                throughput.update(cfg.num_random_rays)
 
                 if step % cfg.log_interval == 0:
                     logger.log_train(
                         step, float(schedule(jnp.asarray(step))), float(metrics["mse"])
+                    )
+                    logger.log_scalar(
+                        "rays_per_sec", throughput.rays_per_sec, step
                     )
 
                 if step % cfg.save_interval == 0 and 0 < step < num_iters - 1:
