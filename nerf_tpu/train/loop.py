@@ -90,6 +90,14 @@ def fit(
     print("Loading dataset...")
     scene = load_scene(cfg)
     settings = render_settings_from_config(cfg, ndc=scene.ndc)
+    # the scene dictates the sampling interval and background (NDC scenes
+    # sample t in [0,1] and composite without a white background)
+    import dataclasses
+
+    settings = dataclasses.replace(
+        settings, near=scene.near, far=scene.far,
+        white_background=scene.white_background,
+    )
     print(
         f"Loaded scene '{scene.name}': {scene.pool.size} train rays, "
         f"{scene.val_images.shape[0]} val images {scene.hw[0]}x{scene.hw[1]}"

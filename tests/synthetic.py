@@ -47,6 +47,54 @@ def render_sphere_image(
     return img.reshape(h, w, 4)
 
 
+def make_synthetic_llff_scene(
+    root: str,
+    h: int = 32,
+    w: int = 40,
+    num_images: int = 12,
+    radius: float = 4.0,
+) -> str:
+    """Write a forward-facing LLFF-format scene (poses_bounds.npy + images/)
+    of the test sphere. Cameras sit near (0, 0, radius) looking down -z with
+    small lateral offsets — the standard LLFF capture geometry."""
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(1)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+
+    focal = 0.5 * w / np.tan(0.5 * CAMERA_ANGLE_X)
+    rows = []
+    for i in range(num_images):
+        # camera basis: right/up/back with tiny rotations toward the origin
+        offset = rng.uniform(-0.4, 0.4, size=2)
+        t = np.array([offset[0], offset[1], radius], np.float32)
+        back = t / np.linalg.norm(t)  # look at the origin
+        right = np.cross(np.array([0.0, 1.0, 0.0]), back)
+        right /= np.linalg.norm(right)
+        up = np.cross(back, right)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, back, t
+
+        img = render_sphere_image(h, w, c2w)
+        rgb = img[..., :3] * img[..., 3:4]  # over black
+        imageio.imwrite(
+            os.path.join(img_dir, f"img_{i:03d}.png"),
+            (rgb * 255).astype(np.uint8),
+        )
+        # LLFF stores [down, right, back] columns: down = -up
+        m = np.stack([-up, right, back, t], axis=1)  # (3, 4)
+        hwf = np.array([[h], [w], [focal]], np.float32)
+        rows.append(
+            np.concatenate(
+                [np.concatenate([m, hwf], axis=1).reshape(-1),
+                 [radius - 1.5, radius + 1.5]]
+            )
+        )
+    np.save(os.path.join(root, "poses_bounds.npy"), np.stack(rows))
+    return root
+
+
 def make_synthetic_blender_scene(
     root: str,
     h: int = 40,
