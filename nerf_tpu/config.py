@@ -103,6 +103,8 @@ class Config:
     use_pallas: bool = True          # fused Pallas MLP kernel on TPU (auto-falls back)
     mesh_shape: str = ""             # e.g. "data:8"; empty = all devices on 'data'
     donate_state: bool = True
+    debug_nans: bool = False         # jax_debug_nans: fail fast on NaN/Inf
+    profile_dir: str = ""            # capture a jax.profiler trace to this dir
 
     def __post_init__(self) -> None:
         self.model_type = self.model_type.lower()

@@ -144,30 +144,38 @@ def _mm(a, b, cdt):
 
 
 def _forward_tile(pts, dirs, w, enc_p, enc_d, cdt):
-    """Shared forward over one tile; returns activations needed by bwd."""
-    penc = _encode(pts, *enc_p)          # (T, P) f32
-    denc = _encode(dirs, *enc_d)         # (T, D) f32
+    """Shared forward over one tile; returns activations needed by bwd.
 
-    h1 = jax.nn.relu(_mm(penc, w["w1"], cdt) + w["b1"])
-    h2 = jax.nn.relu(_mm(h1, w["w2"], cdt) + w["b2"])
-    h3 = jax.nn.relu(_mm(h2, w["w3"], cdt) + w["b3"])
-    h4 = jax.nn.relu(_mm(h3, w["w4"], cdt) + w["b4"])
-    h5 = jax.nn.relu(_mm(h4, w["w5"], cdt) + w["b5"])
-    h6 = jax.nn.relu(_mm(h5, w["w6h"], cdt) + _mm(penc, w["w6p"], cdt) + w["b6"])
-    h7 = jax.nn.relu(_mm(h6, w["w7"], cdt) + w["b7"])
-    h8 = jax.nn.relu(_mm(h7, w["w8"], cdt) + w["b8"])
-    h9 = jax.nn.relu(_mm(h8, w["w9"], cdt) + w["b9"])
+    Activations stay resident in float32: storing them in bfloat16 halves
+    VMEM but crashes the Mosaic compiler in the backward kernel (transposed
+    dot_general on bf16-stored operands), so the cast to the compute dtype
+    happens at each matmul input instead (_mm)."""
+    def act(z):
+        return jax.nn.relu(z)
+
+    penc = _encode(pts, *enc_p)      # (T, P) f32
+    denc = _encode(dirs, *enc_d)     # (T, D) f32
+
+    h1 = act(_mm(penc, w["w1"], cdt) + w["b1"])
+    h2 = act(_mm(h1, w["w2"], cdt) + w["b2"])
+    h3 = act(_mm(h2, w["w3"], cdt) + w["b3"])
+    h4 = act(_mm(h3, w["w4"], cdt) + w["b4"])
+    h5 = act(_mm(h4, w["w5"], cdt) + w["b5"])
+    h6 = act(_mm(h5, w["w6h"], cdt) + _mm(penc, w["w6p"], cdt) + w["b6"])
+    h7 = act(_mm(h6, w["w7"], cdt) + w["b7"])
+    h8 = act(_mm(h7, w["w8"], cdt) + w["b8"])
+    h9 = act(_mm(h8, w["w9"], cdt) + w["b9"])
 
     feat = _mm(h9, w["w10f"], cdt) + w["b10f"]                 # (T, h), no relu
     sigma_pre = (
         jnp.sum(h9 * w["w10s"].astype(jnp.float32), axis=1, keepdims=True)
         + w["b10s"]
-    )                                                           # (T, 1)
+    )                                                           # (T, 1) f32
     sigma = jax.nn.relu(sigma_pre)
 
     zr0 = _mm(feat, w["wr0f"], cdt) + _mm(denc, w["wr0d"], cdt) + w["br0"]
-    y = jax.nn.relu(zr0)
-    rgb8 = jax.nn.sigmoid(_mm(y, w["wr1"], cdt) + w["br1"])     # (T, 8)
+    y = act(zr0)
+    rgb8 = jax.nn.sigmoid(_mm(y, w["wr1"], cdt) + w["br1"])     # (T, 8) f32
     acts = dict(
         penc=penc, denc=denc, h1=h1, h2=h2, h3=h3, h4=h4, h5=h5,
         h6=h6, h7=h7, h8=h8, h9=h9, feat=feat, sigma_pre=sigma_pre,

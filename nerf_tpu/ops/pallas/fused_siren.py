@@ -177,7 +177,7 @@ def _bwd_kernel(pts_ref, dirs_ref, g_ref, *refs,
     ddirs_ref[:] = _encode_bwd(ddenc, dirs, *enc_d)
 
 
-def make_fused_siren_apply(model, tile: int = 512, interpret: bool = False):
+def make_fused_siren_apply(model, tile: int = 256, interpret: bool = False):
     """Drop-in `apply(params, points, dirs) -> (rgb, sigma)` for SirenModel,
     or None when unsupported."""
     h = model.hidden_dim

@@ -71,6 +71,8 @@ def fit(
 ) -> TrainState:
     """Train per the config; returns the final TrainState."""
     np.random.seed(cfg.seed)
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     root_key = jax.random.key(cfg.seed)
     k_init, k_train, k_val = jax.random.split(root_key, 3)
 
@@ -79,11 +81,13 @@ def fit(
 
     # --- mesh / sharding ---
     data_shard = None
+    replicated = None
     if jax.device_count() > 1:
-        from nerf_tpu.parallel.mesh import create_mesh, data_sharding
+        from nerf_tpu.parallel.mesh import create_mesh, data_sharding, replicated_sharding
 
         mesh = create_mesh(cfg.mesh_shape)
         data_shard = data_sharding(mesh)
+        replicated = replicated_sharding(mesh)
         print(f"Mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
     # --- data ---
@@ -109,6 +113,10 @@ def fit(
     if resume_path is not None:
         meta = read_metadata(resume_path)
         state = load_checkpoint(resume_path, state)
+        if replicated is not None:
+            # Orbax restores arrays committed to one device; re-place the
+            # state replicated on the mesh so the sharded step accepts it.
+            state = jax.device_put(state, replicated)
         start_step = int(meta["step"])
         print(f"Resuming training from iteration {start_step}")
 
@@ -179,9 +187,15 @@ def fit(
         with tqdm(
             total=num_iters, initial=start_step, desc="Training", unit="it"
         ) as pbar:
+            profile_window = (start_step + 5, start_step + 15)
             for step in range(start_step, num_iters):
+                if cfg.profile_dir and step == profile_window[0]:
+                    jax.profiler.start_trace(cfg.profile_dir)
                 state, metrics = train_step(state, scene.pool)
                 throughput.update(cfg.num_random_rays)
+                if cfg.profile_dir and step == profile_window[1]:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
 
                 if step % cfg.log_interval == 0:
                     logger.log_train(

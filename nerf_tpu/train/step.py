@@ -26,19 +26,39 @@ from nerf_tpu.render.renderer import RenderSettings, render_image, render_rays
 from nerf_tpu.train.state import TrainState
 
 
-def resolve_apply_fn(model, use_pallas: bool = True) -> Callable:
+def resolve_apply_fn(model, use_pallas: bool = True, probe: bool = True) -> Callable:
     """Pick the field evaluator: fused Pallas kernel on TPU when available
-    and applicable, else the pure-JAX reference path."""
-    if use_pallas:
-        try:
-            from nerf_tpu.ops.pallas import get_fused_apply
+    and applicable, else the pure-JAX reference path.
 
-            fused = get_fused_apply(model)
-            if fused is not None:
-                return fused
-        except Exception:
-            pass
-    return model.apply
+    ``probe`` compiles one tiny fwd+bwd through the kernel up front: Mosaic
+    compile failures surface lazily at the first training step otherwise, and
+    a probe failure downgrades to the pure-JAX path with a warning instead of
+    crashing the run."""
+    if not use_pallas:
+        return model.apply
+    try:
+        from nerf_tpu.ops.pallas import get_fused_apply
+
+        fused = get_fused_apply(model)
+        if fused is None:
+            return model.apply
+        if probe:
+            pts = jnp.zeros((4, 3), jnp.float32)
+            drs = jnp.ones((4, 3), jnp.float32)
+            params = jax.eval_shape(model.init, jax.random.key(0))
+            params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
+
+            def probe_loss(p):
+                rgb, sigma = fused(p, pts, drs)
+                return jnp.sum(rgb) + jnp.sum(sigma)
+
+            jax.block_until_ready(jax.jit(jax.grad(probe_loss)).lower(params)
+                                  .compile()(params))
+        return fused
+    except Exception as e:  # pragma: no cover - backend-specific
+        print(f"Pallas kernel unavailable ({type(e).__name__}); "
+              "falling back to pure-JAX apply.")
+        return model.apply
 
 
 def make_train_step(

@@ -1,0 +1,78 @@
+"""CLI integration tests (in-process): train -> checkpoint -> eval frames,
+exercising the exact reference usage patterns (train.py:29-36, eval.py:53-62)
+on the synthetic scene with a tiny model."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nerf_tpu.cli.eval_cli import main as eval_main
+from nerf_tpu.cli.train_cli import main as train_main
+from tests.synthetic import make_synthetic_blender_scene
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scene")
+    make_synthetic_blender_scene(str(root), h=16, w=16, num_train=4)
+    save = tmp_path_factory.mktemp("models")
+    logs = tmp_path_factory.mktemp("logs")
+    cfg_path = tmp_path_factory.mktemp("cfg") / "cfg.txt"
+    cfg_path.write_text(
+        f"""
+dataset_path = {root}
+num_random_rays = 64
+num_samples = 8
+num_iters = 12
+hidden_dim = 32
+pos_encoding_dim = 4
+dir_encoding_dim = 2
+save_path = {save}
+save_interval = 5
+log_interval = 5
+val_interval = 10
+model_type = nerf
+use_pallas = false
+num_render_poses = 2
+chunk_size = 128
+log_dir = {logs}
+"""
+    )
+    return str(cfg_path), str(save)
+
+
+def test_train_cli_writes_checkpoints(trained):
+    cfg_path, save = trained
+    train_main(["--config", cfg_path])
+    names = sorted(os.listdir(save))
+    # interval ckpt at step 5/10 + final at 12
+    assert any(n == "nerf_model_000012" for n in names)
+    assert any(n == "nerf_model_000005" for n in names)
+
+
+def test_resume_cli(trained, capsys):
+    cfg_path, save = trained
+    train_main(
+        ["--config", cfg_path, "--resume", os.path.join(save, "nerf_model_000012"),
+         "--max-steps", "14"]
+    )
+    out = capsys.readouterr().out
+    assert "Resuming training from iteration 12" in out
+    assert os.path.isdir(os.path.join(save, "nerf_model_000014"))
+
+
+def test_eval_cli_renders_frames(trained, tmp_path):
+    cfg_path, save = trained
+    out_dir = tmp_path / "frames"
+    eval_main(
+        ["--config", cfg_path, "--checkpoint", os.path.join(save, "nerf_model_000012"),
+         "--output", str(out_dir)]
+    )
+    frames = sorted(os.listdir(out_dir))
+    assert frames == ["frame_0000.png", "frame_0001.png"]
+    import imageio.v2 as imageio
+
+    img = imageio.imread(out_dir / "frame_0000.png")
+    assert img.shape == (16, 16, 3)
+    assert img.dtype == np.uint8
