@@ -142,3 +142,27 @@ def test_multiscene_step(tiny_setup, tmp_path_factory):
     # each scene's loss decreases independently
     assert losses[-5:, 0].mean() < losses[:5, 0].mean()
     assert losses[-5:, 1].mean() < losses[:5, 1].mean()
+
+
+def test_fit_multiscene_driver(tiny_setup, tmp_path_factory, tmp_path):
+    """End-to-end multi-scene driver: 2 scenes on a scene:2,data:4 mesh."""
+    import dataclasses
+
+    from nerf_tpu.train.multiscene_loop import fit_multiscene
+
+    cfg, _ = tiny_setup
+    root_b = tmp_path_factory.mktemp("scene_c")
+    make_synthetic_blender_scene(str(root_b), h=16, w=16, num_train=3)
+    cfg = dataclasses.replace(
+        cfg, mesh_shape="scene:2,data:4", save_path=str(tmp_path),
+        num_random_rays=32, log_interval=10, save_interval=100000,
+    )
+    state = fit_multiscene(
+        cfg, [cfg.dataset_path, str(root_b)], max_steps=12,
+        enable_tensorboard=False,
+    )
+    assert int(state.step) == 12
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.shape[0] == 2  # scene-stacked
+    import os
+    assert any("multiscene" in n for n in os.listdir(tmp_path))
