@@ -306,8 +306,8 @@ def _weight_specs(packed):
 
 
 def _build_fused(h: int, p_pad: int, d_pad: int, real_p: int, real_d: int,
-                 num_freq_p: int, num_freq_d: int, cdt, tile: int,
-                 interpret: bool):
+                 num_freq_p: int, num_freq_d: int, cdt, tile_fwd: int,
+                 tile_bwd: int, interpret: bool):
     def to2d(a):
         return jnp.asarray(a if a.ndim == 2 else a[None, :])
 
@@ -321,7 +321,7 @@ def _build_fused(h: int, p_pad: int, d_pad: int, real_p: int, real_d: int,
     ]
     num_w = len(_WEIGHT_NAMES)
 
-    def row_spec(width):
+    def row_spec(width, tile):
         return pl.BlockSpec((tile, width), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
@@ -333,9 +333,10 @@ def _build_fused(h: int, p_pad: int, d_pad: int, real_p: int, real_d: int,
         n = pts.shape[0]
         return pl.pallas_call(
             functools.partial(_fwd_kernel, cdt=cdt),
-            grid=(n // tile,),
-            in_specs=[row_spec(3), row_spec(3)] + enc_specs + _weight_specs(wc),
-            out_specs=row_spec(8),
+            grid=(n // tile_fwd,),
+            in_specs=[row_spec(3, tile_fwd), row_spec(3, tile_fwd)]
+            + enc_specs + _weight_specs(wc),
+            out_specs=row_spec(8, tile_fwd),
             out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
             cost_estimate=pl.CostEstimate(
                 flops=2 * n * mm_cols,
@@ -367,10 +368,11 @@ def _build_fused(h: int, p_pad: int, d_pad: int, real_p: int, real_d: int,
         ]
         outs = pl.pallas_call(
             functools.partial(_bwd_kernel, cdt=cdt, num_w=num_w),
-            grid=(n // tile,),
-            in_specs=[row_spec(3), row_spec(3), row_spec(8)]
+            grid=(n // tile_bwd,),
+            in_specs=[row_spec(3, tile_bwd), row_spec(3, tile_bwd),
+                      row_spec(8, tile_bwd)]
             + enc_specs + _weight_specs(wc),
-            out_specs=[row_spec(3), row_spec(3)] + acc_specs,
+            out_specs=[row_spec(3, tile_bwd), row_spec(3, tile_bwd)] + acc_specs,
             out_shape=[
                 jax.ShapeDtypeStruct((n, 3), jnp.float32),
                 jax.ShapeDtypeStruct((n, 3), jnp.float32),
@@ -391,13 +393,22 @@ def _build_fused(h: int, p_pad: int, d_pad: int, real_p: int, real_d: int,
     return fused
 
 
-def make_fused_nerf_apply(model, tile: int = 512, interpret: bool = False):
+def make_fused_nerf_apply(model, tile_fwd: int = 2048, tile_bwd: int = 512,
+                          interpret: bool = False):
     """Drop-in `apply(params, points, dirs) -> (rgb, sigma)` backed by the
     fused kernels, or None when the model shape isn't supported (callers
-    fall back to the pure-JAX path)."""
+    fall back to the pure-JAX path).
+
+    Tile sizes: the grid has a fixed per-step cost (~8 us measured on
+    v5lite), so fewer/larger tiles win; the forward's VMEM high-water is
+    just the layer chain (big tiles fit), while the backward stashes every
+    activation per tile (tile_bwd stays small). tile_bwd must divide
+    tile_fwd (inputs are padded to a tile_fwd multiple)."""
     h = model.hidden_dim
     if h % 128 != 0 or (h // 2) % 128 != 0:
         return None
+    if tile_fwd % tile_bwd != 0:
+        raise ValueError("tile_bwd must divide tile_fwd")
 
     real_p = 3 * (1 + 2 * model.pos_encoding_dim)
     real_d = 3 * (1 + 2 * model.dir_encoding_dim)
@@ -407,7 +418,8 @@ def make_fused_nerf_apply(model, tile: int = 512, interpret: bool = False):
 
     fused = _build_fused(
         h, p_pad, d_pad, real_p, real_d,
-        model.pos_encoding_dim, model.dir_encoding_dim, cdt, tile, interpret,
+        model.pos_encoding_dim, model.dir_encoding_dim, cdt, tile_fwd,
+        tile_bwd, interpret,
     )
 
     def apply(params, points, dirs):
@@ -416,7 +428,7 @@ def make_fused_nerf_apply(model, tile: int = 512, interpret: bool = False):
         pts = points.reshape(-1, 3)
         dd = dirs.reshape(-1, 3)
         n = pts.shape[0]
-        n_pad = _round_up(max(n, tile), tile)
+        n_pad = _round_up(max(n, tile_fwd), tile_fwd)
         if n_pad != n:
             pts = jnp.pad(pts, ((0, n_pad - n), (0, 0)))
             dd = jnp.pad(dd, ((0, n_pad - n), (0, 0)))

@@ -177,12 +177,17 @@ def _bwd_kernel(pts_ref, dirs_ref, g_ref, *refs,
     ddirs_ref[:] = _encode_bwd(ddenc, dirs, *enc_d)
 
 
-def make_fused_siren_apply(model, tile: int = 256, interpret: bool = False):
+def make_fused_siren_apply(model, tile_fwd: int = 2048, tile_bwd: int = 256,
+                           interpret: bool = False):
     """Drop-in `apply(params, points, dirs) -> (rgb, sigma)` for SirenModel,
-    or None when unsupported."""
+    or None when unsupported. The backward stashes all eight f32
+    pre-activations per tile, so tile_bwd stays small; the forward uses big
+    tiles to amortize the fixed per-grid-step cost."""
     h = model.hidden_dim
     if h % 128 != 0 or (h // 2) % 128 != 0 or model.num_layers != _NUM_BASE:
         return None
+    if tile_fwd % tile_bwd != 0:
+        raise ValueError("tile_bwd must divide tile_fwd")
 
     real_d = 3 * (1 + 2 * model.dir_encoding_dim)
     d_pad = _round_up(real_d, 32)
@@ -200,7 +205,7 @@ def make_fused_siren_apply(model, tile: int = 256, interpret: bool = False):
     ]
     num_w = len(_WEIGHT_NAMES)
 
-    def row_spec(width):
+    def row_spec(width, tile):
         return pl.BlockSpec((tile, width), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
@@ -220,9 +225,10 @@ def make_fused_siren_apply(model, tile: int = 256, interpret: bool = False):
                 _fwd_kernel, w0s=w0s, sigma_mul=sigma_mul, rgb_mul=rgb_mul,
                 cdt=cdt,
             ),
-            grid=(n // tile,),
-            in_specs=[row_spec(3), row_spec(3)] + enc_specs + weight_specs(wc),
-            out_specs=row_spec(8),
+            grid=(n // tile_fwd,),
+            in_specs=[row_spec(3, tile_fwd), row_spec(3, tile_fwd)]
+            + enc_specs + weight_specs(wc),
+            out_specs=row_spec(8, tile_fwd),
             out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
             cost_estimate=pl.CostEstimate(
                 flops=2 * n * mm_cols,
@@ -255,10 +261,11 @@ def make_fused_siren_apply(model, tile: int = 256, interpret: bool = False):
                 _bwd_kernel, w0s=w0s, sigma_mul=sigma_mul, rgb_mul=rgb_mul,
                 cdt=cdt, num_w=num_w,
             ),
-            grid=(n // tile,),
-            in_specs=[row_spec(3), row_spec(3), row_spec(8)]
+            grid=(n // tile_bwd,),
+            in_specs=[row_spec(3, tile_bwd), row_spec(3, tile_bwd),
+                      row_spec(8, tile_bwd)]
             + enc_specs + weight_specs(wc),
-            out_specs=[row_spec(3), row_spec(3)] + acc_specs,
+            out_specs=[row_spec(3, tile_bwd), row_spec(3, tile_bwd)] + acc_specs,
             out_shape=[
                 jax.ShapeDtypeStruct((n, 3), jnp.float32),
                 jax.ShapeDtypeStruct((n, 3), jnp.float32),
@@ -281,7 +288,7 @@ def make_fused_siren_apply(model, tile: int = 256, interpret: bool = False):
         pts = points.reshape(-1, 3)
         dd = dirs.reshape(-1, 3)
         n = pts.shape[0]
-        n_pad = _round_up(max(n, tile), tile)
+        n_pad = _round_up(max(n, tile_fwd), tile_fwd)
         if n_pad != n:
             pts = jnp.pad(pts, ((0, n_pad - n), (0, 0)))
             dd = jnp.pad(dd, ((0, n_pad - n), (0, 0)))

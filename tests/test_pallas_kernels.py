@@ -46,21 +46,21 @@ def _check(model, fused, atol_fwd=1e-5, rtol_grad=1e-4):
 
 def test_fused_nerf_matches_pure_jax():
     model = NeRFModel(compute_dtype="float32")
-    fused = make_fused_nerf_apply(model, tile=128, interpret=True)
+    fused = make_fused_nerf_apply(model, tile_fwd=128, tile_bwd=128, interpret=True)
     assert fused is not None
     _check(model, fused)
 
 
 def test_fused_siren_matches_pure_jax():
     model = SirenModel(compute_dtype="float32")
-    fused = make_fused_siren_apply(model, tile=128, interpret=True)
+    fused = make_fused_siren_apply(model, tile_fwd=128, tile_bwd=128, interpret=True)
     assert fused is not None
     _check(model, fused)
 
 
 def test_fused_handles_nonmultiple_batch_and_leading_dims():
     model = NeRFModel(compute_dtype="float32")
-    fused = make_fused_nerf_apply(model, tile=128, interpret=True)
+    fused = make_fused_nerf_apply(model, tile_fwd=128, tile_bwd=128, interpret=True)
     params = model.init(jax.random.key(0))
     pts, dirs = _inputs(n=130)  # not a tile multiple
     r1, s1 = fused(params, pts, dirs)
