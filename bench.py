@@ -2,17 +2,23 @@
 """Benchmark: training-step throughput in rays/sec/chip (fwd+bwd+update).
 
 Measures the reference workload shape (config_lego.txt:13-15: 1024 rays x
-256 samples through the full-size NeRF MLP) as one jitted train step on the
-default device, then prints ONE JSON line:
+256 samples through the full-size NeRF MLP) as scan-batched jitted train
+steps on the default device, then prints ONE JSON line:
 
     {"metric": "rays_per_sec_per_chip", "value": N, "unit": "rays/s",
      "vs_baseline": R}
 
-``vs_baseline`` is the speedup of the configured fast path (Pallas fused
-kernel + compute dtype from NERF_TPU_BENCH_DTYPE, default bfloat16) over the
-pure-JAX float32 path measured in the same run — the pure-JAX fp32 path is
-the porting-fidelity baseline (the reference publishes no numbers of its
-own; BASELINE.md documents this).
+``vs_baseline`` is the speedup of the configured fast path (scan-chunked
+dispatch + Pallas fused kernel + compute dtype from NERF_TPU_BENCH_DTYPE,
+default bfloat16) over the porting-fidelity baseline measured in the same
+run: the pure-JAX float32 path with one dispatch per step, which is the
+shape of the reference's own loop (the reference publishes no numbers of
+its own; BASELINE.md documents this).
+
+Timing notes: steps are chained (state_{i+1} = f(state_i)) and the clock
+stops only after fetching the final step's loss to host — on remote/
+tunneled runtimes `block_until_ready` alone does not guarantee execution
+finished, and independent (unchained) calls can be elided entirely.
 """
 
 from __future__ import annotations
@@ -24,7 +30,8 @@ import time
 import numpy as np
 
 
-def _build(batch_rays: int, num_samples: int, compute_dtype: str, use_pallas: bool):
+def _build(batch_rays: int, num_samples: int, compute_dtype: str,
+           use_pallas: bool, steps_per_call: int):
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +40,7 @@ def _build(batch_rays: int, num_samples: int, compute_dtype: str, use_pallas: bo
     from nerf_tpu.render.renderer import RenderSettings
     from nerf_tpu.train.optim import make_optimizer
     from nerf_tpu.train.state import TrainState
-    from nerf_tpu.train.step import make_train_step
+    from nerf_tpu.train.step import make_scan_train_step, make_train_step
     from nerf_tpu.data.pipeline import RayPool
 
     model = NeRFModel(compute_dtype=compute_dtype)
@@ -61,40 +68,51 @@ def _build(batch_rays: int, num_samples: int, compute_dtype: str, use_pallas: bo
         rgb=jax.random.uniform(k, (pool_size, 3)),
         viewdirs=rays_d,
     )
-    step_fn = make_train_step(
-        model, tx, settings, batch_rays, jax.random.key(2),
-        use_pallas=use_pallas, donate=True,
-    )
+    if steps_per_call > 1:
+        step_fn = make_scan_train_step(
+            model, tx, settings, batch_rays, jax.random.key(2),
+            num_steps=steps_per_call, use_pallas=use_pallas, donate=True,
+        )
+    else:
+        step_fn = make_train_step(
+            model, tx, settings, batch_rays, jax.random.key(2),
+            use_pallas=use_pallas, donate=True,
+        )
     return step_fn, state, pool
 
 
-def _measure(step_fn, state, pool, batch_rays: int, iters: int, warmup: int):
-    import jax
+def _measure(step_fn, state, pool, batch_rays: int, calls: int,
+             steps_per_call: int, warmup: int):
+    def fetch(m):
+        loss = m["loss"]
+        return float(np.asarray(loss if loss.ndim == 0 else loss[-1]))
 
     for _ in range(warmup):
         state, m = step_fn(state, pool)
-    jax.block_until_ready(m["loss"])
+    fetch(m)
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(calls):
         state, m = step_fn(state, pool)
-    jax.block_until_ready(m["loss"])
+    fetch(m)  # chained states => this forces the whole timed sequence
     dt = time.perf_counter() - t0
-    return batch_rays * iters / dt, state
+    return batch_rays * steps_per_call * calls / dt, state
 
 
 def main() -> None:
     batch_rays = int(os.environ.get("NERF_TPU_BENCH_RAYS", 1024))
     num_samples = int(os.environ.get("NERF_TPU_BENCH_SAMPLES", 256))
-    iters = int(os.environ.get("NERF_TPU_BENCH_ITERS", 50))
+    calls = int(os.environ.get("NERF_TPU_BENCH_ITERS", 10))
+    scan = int(os.environ.get("NERF_TPU_BENCH_SCAN", 20))
     fast_dtype = os.environ.get("NERF_TPU_BENCH_DTYPE", "bfloat16")
 
-    # baseline: pure-JAX float32 (the porting-fidelity path)
-    step_fn, state, pool = _build(batch_rays, num_samples, "float32", False)
-    base_rps, _ = _measure(step_fn, state, pool, batch_rays, iters, warmup=3)
+    # baseline: pure-JAX float32, one dispatch per step (reference loop shape)
+    step_fn, state, pool = _build(batch_rays, num_samples, "float32", False, 1)
+    base_rps, _ = _measure(step_fn, state, pool, batch_rays,
+                           calls * min(scan, 4), 1, warmup=3)
 
-    # fast path: fused Pallas kernel + bf16 matmuls where enabled
-    step_fn, state, pool = _build(batch_rays, num_samples, fast_dtype, True)
-    fast_rps, _ = _measure(step_fn, state, pool, batch_rays, iters, warmup=3)
+    # fast path: scan-chunked dispatch + fused Pallas kernel + bf16 matmuls
+    step_fn, state, pool = _build(batch_rays, num_samples, fast_dtype, True, scan)
+    fast_rps, _ = _measure(step_fn, state, pool, batch_rays, calls, scan, warmup=2)
 
     value = max(fast_rps, base_rps)
     print(

@@ -101,6 +101,9 @@ class Config:
     # --- TPU / performance (extensions; no reference counterpart) ---
     compute_dtype: str = "float32"   # "float32" | "bfloat16" matmul compute dtype
     use_pallas: bool = True          # fused Pallas MLP kernel on TPU (auto-falls back)
+    steps_per_call: int = 0          # train steps per compiled dispatch (lax.scan);
+                                     # 0 = auto (gcd of log/val/save intervals),
+                                     # 1 = one dispatch per step (reference cadence)
     mesh_shape: str = ""             # e.g. "data:8"; empty = all devices on 'data'
     donate_state: bool = True
     debug_nans: bool = False         # jax_debug_nans: fail fast on NaN/Inf

@@ -8,7 +8,20 @@ the pure-JAX path, which remains the numerical reference.
 
 from __future__ import annotations
 
+import os
+
 import jax
+
+
+def _tile_overrides() -> dict:
+    """Optional kernel tile overrides for tuning sweeps (env vars
+    NERF_TPU_TILE_FWD / NERF_TPU_TILE_BWD)."""
+    out = {}
+    if os.environ.get("NERF_TPU_TILE_FWD"):
+        out["tile_fwd"] = int(os.environ["NERF_TPU_TILE_FWD"])
+    if os.environ.get("NERF_TPU_TILE_BWD"):
+        out["tile_bwd"] = int(os.environ["NERF_TPU_TILE_BWD"])
+    return out
 
 
 def _on_tpu() -> bool:
@@ -28,9 +41,37 @@ def get_fused_apply(model):
     if isinstance(model, NeRFModel):
         from nerf_tpu.ops.pallas.fused_nerf import make_fused_nerf_apply
 
-        return make_fused_nerf_apply(model)
+        return make_fused_nerf_apply(model, **_tile_overrides())
     if isinstance(model, SirenModel):
         from nerf_tpu.ops.pallas.fused_siren import make_fused_siren_apply
 
-        return make_fused_siren_apply(model)
+        return make_fused_siren_apply(model, **_tile_overrides())
+    return None
+
+
+def _render_tile_overrides() -> dict:
+    out = {}
+    if os.environ.get("NERF_TPU_RENDER_TILE_FWD"):
+        out["tile_points_fwd"] = int(os.environ["NERF_TPU_RENDER_TILE_FWD"])
+    if os.environ.get("NERF_TPU_RENDER_TILE_BWD"):
+        out["tile_points_bwd"] = int(os.environ["NERF_TPU_RENDER_TILE_BWD"])
+    return out
+
+
+def get_fused_render(model, settings):
+    """Fully fused render kernel (sampling positions + field + compositing
+    in one Pallas program, ops/pallas/fused_render.py) for supported models
+    on TPU; None otherwise. ``settings`` is a RenderSettings."""
+    if not _on_tpu():
+        return None
+    from nerf_tpu.models.nerf import NeRFModel
+
+    if isinstance(model, NeRFModel):
+        from nerf_tpu.ops.pallas.fused_render import make_fused_nerf_render
+
+        return make_fused_nerf_render(
+            model, settings.near, settings.far,
+            normalize=settings.normalize_positions,
+            **_render_tile_overrides(),
+        )
     return None

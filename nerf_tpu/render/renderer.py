@@ -38,7 +38,7 @@ from nerf_tpu.ops.sampling import (
     sample_positions,
     stratified_sample,
 )
-from nerf_tpu.ops.volume import composite
+from nerf_tpu.ops.volume import CompositeOutput, composite
 
 
 @dataclass(frozen=True)
@@ -91,7 +91,24 @@ def _render_pass(
     viewdirs: jax.Array,
     t: jax.Array,
     settings: RenderSettings,
+    fused_render=None,
 ):
+    if fused_render is not None:
+        # Fully fused path: sampling positions, encoding, MLP and
+        # compositing all happen inside one Pallas kernel (fused_render.py);
+        # only white background + disparity remain here (O(rays) ops).
+        deltas = deltas_from_t(t)
+        out = fused_render(params, rays_o, rays_d, viewdirs, t, deltas)
+        rgb, acc, depth = out["rgb"], out["acc"], out["depth"]
+        if settings.white_background:
+            rgb = rgb + (1.0 - acc[..., None])
+        disparity = 1.0 / jnp.maximum(
+            depth / jnp.maximum(acc, 1e-10), 1e-10
+        )
+        return CompositeOutput(
+            rgb=rgb, weights=out["weights"], depth=depth, acc=acc,
+            disparity=disparity,
+        )
     points = sample_positions(rays_o, rays_d, t)
     rgb, sigma = _query(apply_fn, params, points, viewdirs, settings)
     deltas = deltas_from_t(t)
@@ -110,6 +127,7 @@ def render_rays(
     settings: RenderSettings,
     fine_params: Optional[dict] = None,
     viewdirs: Optional[jax.Array] = None,
+    fused_render=None,
 ) -> RenderOutput:
     """Render a batch of rays. Jittable; no data-dependent control flow.
 
@@ -120,6 +138,9 @@ def render_rays(
         the view-dependent branch sees.
       key: PRNG key for stratified jitter + inverse-CDF sampling.
       fine_params: parameters for the fine pass (defaults to ``params``).
+      fused_render: optional FusedNerfRender — routes each pass through the
+        fully fused Pallas render kernel instead of apply_fn + XLA
+        compositing (see ops/pallas/fused_render.py).
     """
     num_rays = rays_o.shape[0]
     if viewdirs is None:
@@ -135,7 +156,10 @@ def render_rays(
         jitter_mode=settings.jitter_mode,
         perturb=settings.perturb,
     )
-    coarse = _render_pass(apply_fn, params, rays_o, rays_d, viewdirs, t, settings)
+    coarse = _render_pass(
+        apply_fn, params, rays_o, rays_d, viewdirs, t, settings,
+        fused_render=fused_render,
+    )
 
     if settings.num_fine_samples <= 0:
         return RenderOutput(
@@ -166,6 +190,7 @@ def render_rays(
         viewdirs,
         t_all,
         settings,
+        fused_render=fused_render,
     )
     return RenderOutput(
         rgb=fine.rgb,
@@ -185,6 +210,7 @@ def render_image(
     settings: RenderSettings,
     fine_params: Optional[dict] = None,
     viewdirs: Optional[jax.Array] = None,
+    fused_render=None,
 ) -> RenderOutput:
     """Render many rays (e.g. a full image) under a fixed memory bound.
 
@@ -213,7 +239,7 @@ def render_image(
         k, o, d, v = args
         return render_rays(
             apply_fn, params, o, d, k, settings,
-            fine_params=fine_params, viewdirs=v,
+            fine_params=fine_params, viewdirs=v, fused_render=fused_render,
         )
 
     out = jax.lax.map(render_tile, (keys, ro, rd, vd))

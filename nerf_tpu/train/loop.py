@@ -29,7 +29,13 @@ from nerf_tpu.data.rays import compute_rays
 from nerf_tpu.render.renderer import RenderSettings
 from nerf_tpu.train.optim import lr_schedule
 from nerf_tpu.train.state import TrainState, create_train_state
-from nerf_tpu.train.step import make_eval_render, make_train_step
+from nerf_tpu.train.step import (
+    make_eval_render,
+    make_scan_train_step,
+    make_train_step,
+    resolve_apply_fn,
+    resolve_fused_render,
+)
 from nerf_tpu.utils.checkpoint import load_checkpoint, read_metadata, save_checkpoint
 from nerf_tpu.utils.logging import MetricLogger
 from nerf_tpu.utils.metrics import mse_to_psnr
@@ -120,17 +126,69 @@ def fit(
         start_step = int(meta["step"])
         print(f"Resuming training from iteration {start_step}")
 
+    fused_render = resolve_fused_render(model, settings, use_pallas=cfg.use_pallas)
+    apply_fn = (
+        model.apply if fused_render is not None  # field kernel not needed
+        else resolve_apply_fn(model, use_pallas=cfg.use_pallas)
+    )
     train_step = make_train_step(
         model,
         tx,
         settings,
         cfg.num_random_rays,
         k_train,
-        use_pallas=cfg.use_pallas,
         data_sharding=data_shard,
         donate=cfg.donate_state,
+        apply_fn=apply_fn,
+        fused_render=fused_render,
     )
-    eval_render = make_eval_render(model, settings, use_pallas=cfg.use_pallas)
+
+    # Scan-chunked stepping: between host touchpoints (log/val/save), run N
+    # iterations inside ONE compiled dispatch (bit-identical to N single
+    # steps — randomness derives from state.step). Chunks are sized so every
+    # event step lands exactly at a chunk end; compiled variants are cached
+    # per length (steady state uses one length = gcd of the intervals).
+    max_chunk = cfg.steps_per_call
+    if max_chunk <= 0:
+        import math
+
+        max_chunk = math.gcd(
+            math.gcd(cfg.log_interval, cfg.val_interval), cfg.save_interval
+        )
+    _step_fns: dict[int, object] = {1: train_step}
+
+    def get_step_fn(c: int):
+        if c not in _step_fns:
+            _step_fns[c] = make_scan_train_step(
+                model,
+                tx,
+                settings,
+                cfg.num_random_rays,
+                k_train,
+                num_steps=c,
+                data_sharding=data_shard,
+                donate=cfg.donate_state,
+                apply_fn=apply_fn,
+                fused_render=fused_render,
+            )
+        return _step_fns[c]
+
+    def next_event(i: int) -> int:
+        """Smallest step >= i at which the host must act (log/save/val)."""
+        def next_mult(j: int, k: int) -> int:
+            return ((j + k - 1) // k) * k
+
+        candidates = [next_mult(i, cfg.log_interval)]
+        s = next_mult(max(i, cfg.save_interval), cfg.save_interval)
+        if 0 < s < num_iters - 1:
+            candidates.append(s)
+        v = next_mult(i, cfg.val_interval)
+        if v == 0 and not cfg.first_step_render:
+            v = cfg.val_interval
+        candidates.append(v)
+        return min(candidates)
+    eval_render = make_eval_render(model, settings, apply_fn=apply_fn,
+                                   fused_render=fused_render)
     schedule = lr_schedule(
         cfg.learning_rate, cfg.lr_decay, cfg.lr_decay_factor, cfg.lr_min
     )
@@ -187,15 +245,26 @@ def fit(
         with tqdm(
             total=num_iters, initial=start_step, desc="Training", unit="it"
         ) as pbar:
-            profile_window = (start_step + 5, start_step + 15)
-            for step in range(start_step, num_iters):
-                if cfg.profile_dir and step == profile_window[0]:
+            pos = start_step
+            chunk_idx = 0
+            while pos < num_iters:
+                ev = next_event(pos)
+                boundary = min(ev + 1, num_iters)
+                c = min(max_chunk, boundary - pos)
+
+                profiling = cfg.profile_dir and chunk_idx == 2
+                if profiling:
                     jax.profiler.start_trace(cfg.profile_dir)
-                state, metrics = train_step(state, scene.pool)
-                throughput.update(cfg.num_random_rays)
-                if cfg.profile_dir and step == profile_window[1]:
+                state, metrics = get_step_fn(c)(state, scene.pool)
+                if profiling:
                     jax.block_until_ready(metrics["loss"])
                     jax.profiler.stop_trace()
+
+                step = pos + c - 1  # last executed iteration
+                throughput.update(c * cfg.num_random_rays)
+                chunk_idx += 1
+                if c > 1:  # scan stacks metrics; take the chunk-final step's
+                    metrics = jax.tree.map(lambda x: x[-1], metrics)
 
                 if step % cfg.log_interval == 0:
                     logger.log_train(
@@ -215,7 +284,8 @@ def fit(
                 if step % cfg.val_interval == 0 and (step > 0 or cfg.first_step_render):
                     run_validation(step)
 
-                pbar.update(1)
+                pos += c
+                pbar.update(c)
 
         final = save_checkpoint(state, cfg.save_path, cfg.model_type, num_iters)
         elapsed = format_elapsed_time(start_time)

@@ -61,23 +61,54 @@ def resolve_apply_fn(model, use_pallas: bool = True, probe: bool = True) -> Call
         return model.apply
 
 
-def make_train_step(
-    model,
+def resolve_fused_render(model, settings: RenderSettings,
+                         use_pallas: bool = True, probe: bool = True):
+    """The fully fused render kernel for this model/settings, or None.
+
+    Like `resolve_apply_fn`, a probe compiles one tiny fwd+bwd up front so
+    Mosaic failures downgrade to the next-best path (fused field kernel or
+    pure JAX) instead of crashing the first training step."""
+    if not use_pallas:
+        return None
+    try:
+        from nerf_tpu.ops.pallas import get_fused_render
+
+        fr = get_fused_render(model, settings)
+        if fr is None:
+            return None
+        if probe:
+            params = jax.eval_shape(model.init, jax.random.key(0))
+            params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
+            ro = jnp.zeros((8, 3), jnp.float32)
+            rd = jnp.ones((8, 3), jnp.float32)
+            t = jnp.linspace(0.1, 1.0, 8)[None, :].repeat(8, 0)
+            dl = jnp.ones_like(t)
+
+            def probe_loss(p):
+                out = fr(p, ro, rd, rd, t, dl)
+                return jnp.sum(out["rgb"]) + jnp.sum(out["acc"])
+
+            jax.block_until_ready(
+                jax.jit(jax.grad(probe_loss)).lower(params).compile()(params)
+            )
+        return fr
+    except Exception as e:  # pragma: no cover - backend-specific
+        print(f"Fused render kernel unavailable ({type(e).__name__}); "
+              "falling back to the field kernel / pure-JAX path.")
+        return None
+
+
+def _make_step_body(
+    apply_fn: Callable,
     tx,
     settings: RenderSettings,
     batch_size: int,
     base_key: jax.Array,
-    use_pallas: bool = True,
     data_sharding=None,
-    donate: bool = True,
+    fused_render=None,
 ):
-    """Returns ``step(state, pool) -> (state, metrics)`` (jitted).
-
-    ``data_sharding`` optionally constrains the sampled ray batch onto the
-    mesh's data axis; with replicated params XLA then emits the gradient
-    all-reduce (psum over ICI) automatically.
-    """
-    apply_fn = resolve_apply_fn(model, use_pallas)
+    """The un-jitted single-iteration body shared by the one-step and
+    scanned trainers: sample batch -> render -> MSE -> grad -> optax update."""
 
     def loss_fn(param_pair, batch: RayBatch, key: jax.Array):
         params, fine_params = param_pair
@@ -90,6 +121,7 @@ def make_train_step(
             settings,
             fine_params=fine_params if fine_params else None,
             viewdirs=batch.viewdirs,
+            fused_render=fused_render,
         )
         mse = jnp.mean((out.rgb - batch.rgb) ** 2)
         loss = mse
@@ -129,18 +161,96 @@ def make_train_step(
         }
         return new_state, metrics
 
+    return step
+
+
+def make_train_step(
+    model,
+    tx,
+    settings: RenderSettings,
+    batch_size: int,
+    base_key: jax.Array,
+    use_pallas: bool = True,
+    data_sharding=None,
+    donate: bool = True,
+    apply_fn: Optional[Callable] = None,
+    fused_render=None,
+):
+    """Returns ``step(state, pool) -> (state, metrics)`` (jitted).
+
+    ``data_sharding`` optionally constrains the sampled ray batch onto the
+    mesh's data axis; with replicated params XLA then emits the gradient
+    all-reduce (psum over ICI) automatically.
+    """
+    if apply_fn is None:
+        apply_fn = resolve_apply_fn(model, use_pallas)
+        if fused_render is None:
+            fused_render = resolve_fused_render(model, settings, use_pallas)
+    step = _make_step_body(
+        apply_fn, tx, settings, batch_size, base_key, data_sharding,
+        fused_render=fused_render,
+    )
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_scan_train_step(
+    model,
+    tx,
+    settings: RenderSettings,
+    batch_size: int,
+    base_key: jax.Array,
+    num_steps: int,
+    use_pallas: bool = True,
+    data_sharding=None,
+    donate: bool = True,
+    apply_fn: Optional[Callable] = None,
+    fused_render=None,
+):
+    """Returns ``step_n(state, pool) -> (state, metrics)`` running
+    ``num_steps`` training iterations inside ONE compiled program via
+    ``lax.scan``; ``metrics`` leaves are stacked ``(num_steps,)`` arrays.
+
+    Because each iteration's randomness and batch selection derive from
+    ``state.step`` (fold_in), a scan of N steps is bit-identical to N
+    single-step calls — chunking is purely a dispatch-amortization choice.
+    Host<->device dispatch costs ~1 ms per call on tunneled/remote runtimes
+    and ~100 us locally; at ~7 ms of real compute per reference-shape step
+    that overhead is material, and between host touchpoints (log/val/save
+    boundaries) there is nothing for the host to do anyway.
+    """
+    if apply_fn is None:
+        apply_fn = resolve_apply_fn(model, use_pallas)
+        if fused_render is None:
+            fused_render = resolve_fused_render(model, settings, use_pallas)
+    one_step = _make_step_body(
+        apply_fn, tx, settings, batch_size, base_key, data_sharding,
+        fused_render=fused_render,
+    )
+
+    def step_n(state: TrainState, pool: RayPool):
+        def body(carry, _):
+            new_state, metrics = one_step(carry, pool)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, None, length=num_steps)
+
+    return jax.jit(step_n, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_render(
     model,
     settings: RenderSettings,
     use_pallas: bool = True,
+    apply_fn: Optional[Callable] = None,
+    fused_render=None,
 ):
     """Returns a jitted full-image renderer:
     ``render(params, fine_params, rays_o, rays_d, key) -> RenderOutput``.
     Memory is bounded by ``settings.chunk_size`` via lax.map tiling."""
-    apply_fn = resolve_apply_fn(model, use_pallas)
+    if apply_fn is None:
+        apply_fn = resolve_apply_fn(model, use_pallas)
+        if fused_render is None:
+            fused_render = resolve_fused_render(model, settings, use_pallas)
 
     @jax.jit
     def _render(params, fine_params, rays_o, rays_d, viewdirs, key):
@@ -153,6 +263,7 @@ def make_eval_render(
             settings,
             fine_params=fine_params if fine_params else None,
             viewdirs=viewdirs,
+            fused_render=fused_render,
         )
 
     def render(params, fine_params, rays_o, rays_d, key, viewdirs=None):

@@ -1,0 +1,122 @@
+"""Fused render kernel (ops/pallas/fused_render.py) vs the pure-JAX path.
+
+Runs in Pallas interpret mode on the CPU test mesh; the same comparisons run
+compiled on real TPU via tools/validate_fused_render.py. The pure path is
+the numerical reference (itself golden-tested against the torch reference in
+test_torch_parity.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.models import NeRFModel
+from nerf_tpu.ops.pallas.fused_render import make_fused_nerf_render
+from nerf_tpu.ops.sampling import (
+    deltas_from_t,
+    normalize_positions,
+    sample_positions,
+)
+from nerf_tpu.ops.volume import composite
+
+NEAR, FAR = 2.0, 6.0
+
+
+def _setup(num_rays=6, num_samples=32, seed=0):
+    model = NeRFModel()  # float32 compute
+    params = model.init(jax.random.key(seed))
+    rng = np.random.default_rng(seed)
+    rays_o = jnp.asarray(rng.uniform(2.5, 3.5, (num_rays, 3)), jnp.float32)
+    rd = rng.normal(size=(num_rays, 3))
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rays_d = jnp.asarray(rd, jnp.float32)
+    edges = np.linspace(NEAR, FAR, num_samples + 1)
+    t = edges[:-1] + rng.uniform(0, 1, (num_rays, num_samples)) * (
+        edges[1:] - edges[:-1]
+    )
+    t = jnp.asarray(t, jnp.float32)
+    return model, params, rays_o, rays_d, t
+
+
+def _pure(model, params, rays_o, rays_d, t):
+    deltas = deltas_from_t(t)
+    pts = sample_positions(rays_o, rays_d, t)
+    ptsn = normalize_positions(pts, NEAR, FAR)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], ptsn.shape)
+    rgb, sigma = model.apply(params, ptsn, dirs)
+    return composite(rgb, sigma, deltas, t=t, white_background=False)
+
+
+def test_fused_render_forward_matches_pure():
+    model, params, rays_o, rays_d, t = _setup()
+    fr = make_fused_nerf_render(model, NEAR, FAR, normalize=True,
+                                interpret=True)
+    assert fr is not None
+    out_p = _pure(model, params, rays_o, rays_d, t)
+    out_f = fr(params, rays_o, rays_d, rays_d, t, deltas_from_t(t))
+    np.testing.assert_allclose(out_f["rgb"], out_p.rgb, atol=1e-5)
+    np.testing.assert_allclose(out_f["acc"], out_p.acc, atol=1e-5)
+    np.testing.assert_allclose(out_f["depth"], out_p.depth, atol=1e-4)
+    np.testing.assert_allclose(out_f["weights"], out_p.weights, atol=1e-5)
+
+
+def test_fused_render_param_grads_match_pure():
+    model, params, rays_o, rays_d, t = _setup()
+    fr = make_fused_nerf_render(model, NEAR, FAR, normalize=True,
+                                interpret=True)
+    rng = np.random.default_rng(1)
+    target = jnp.asarray(rng.uniform(0, 1, (rays_o.shape[0], 3)), jnp.float32)
+
+    def loss_pure(p):
+        out = _pure(model, p, rays_o, rays_d, t)
+        rgb = out.rgb + (1.0 - out.acc[:, None])  # white background
+        return jnp.mean((rgb - target) ** 2)
+
+    def loss_fused(p):
+        out = fr(p, rays_o, rays_d, rays_d, t, deltas_from_t(t))
+        rgb = out["rgb"] + (1.0 - out["acc"][:, None])
+        return jnp.mean((rgb - target) ** 2)
+
+    lp, gp = jax.value_and_grad(loss_pure)(params)
+    lf, gf = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gf)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-10
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-4
+        )
+
+
+def test_fused_render_pads_ragged_ray_count():
+    model, params, rays_o, rays_d, t = _setup(num_rays=5, num_samples=16)
+    fr = make_fused_nerf_render(model, NEAR, FAR, normalize=True,
+                                interpret=True)
+    out_p = _pure(model, params, rays_o, rays_d, t)
+    out_f = fr(params, rays_o, rays_d, rays_d, t, deltas_from_t(t))
+    assert out_f["rgb"].shape == (5, 3)
+    assert out_f["weights"].shape == (5, 16)
+    np.testing.assert_allclose(out_f["rgb"], out_p.rgb, atol=1e-5)
+
+
+def test_fused_render_in_renderer_path():
+    """render_rays(fused_render=...) must agree with the plain path when the
+    same PRNG key drives sampling (hierarchical included)."""
+    from nerf_tpu.render.renderer import RenderSettings, render_rays
+
+    model, params, rays_o, rays_d, _ = _setup()
+    fr = make_fused_nerf_render(model, NEAR, FAR, normalize=True,
+                                interpret=True)
+    settings = RenderSettings(
+        near=NEAR, far=FAR, num_samples=16, num_fine_samples=8,
+        white_background=True,
+    )
+    key = jax.random.key(3)
+    out_plain = render_rays(model.apply, params, rays_o, rays_d, key, settings)
+    out_fused = render_rays(model.apply, params, rays_o, rays_d, key, settings,
+                            fused_render=fr)
+    np.testing.assert_allclose(out_fused.rgb, out_plain.rgb, atol=1e-4)
+    np.testing.assert_allclose(out_fused.rgb_coarse, out_plain.rgb_coarse,
+                               atol=1e-4)
+    np.testing.assert_allclose(out_fused.acc, out_plain.acc, atol=1e-4)
