@@ -74,4 +74,16 @@ def get_fused_render(model, settings):
             normalize=settings.normalize_positions,
             **_render_tile_overrides(),
         )
+    from nerf_tpu.models.siren import SirenModel
+
+    if isinstance(model, SirenModel):
+        from nerf_tpu.ops.pallas.fused_render_siren import (
+            make_fused_siren_render,
+        )
+
+        return make_fused_siren_render(
+            model, settings.near, settings.far,
+            normalize=settings.normalize_positions,
+            **_render_tile_overrides(),
+        )
     return None

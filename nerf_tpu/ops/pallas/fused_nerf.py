@@ -377,6 +377,9 @@ def _build_fused(h: int, p_pad: int, d_pad: int, real_p: int, real_d: int,
                 bytes_accessed=n * (3 + 3 + 8) * 4,
                 transcendentals=n * (p_pad + d_pad + 8),
             ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(pts, dirs, *enc_args, *(wc[k] for k in _WEIGHT_NAMES))
 
@@ -416,6 +419,9 @@ def _build_fused(h: int, p_pad: int, d_pad: int, real_p: int, real_d: int,
                 flops=3 * 2 * n * mm_cols,
                 bytes_accessed=n * (3 + 3 + 8 + 3 + 3) * 4,
                 transcendentals=n * (p_pad + d_pad + 8),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
         )(pts, dirs, g, *enc_args, *(wc[k] for k in _WEIGHT_NAMES))

@@ -215,11 +215,21 @@ def _bwd_kernel(*refs, cdt, s, tr, slot, num_w):
         acts, sigma, t, delta, g8, tb, tr, s
     )
 
-    # --- backward through compositing ---
-    g_ray = g_ref[:][:tr]                             # (TR, 8) cotangent
+    g_rgb8, g_sigma = _composite_bwd(
+        acts["rgb8"], w_col, T_col, one_m, t, delta, g_ref[:][:tr], s
+    )
+    _mlp_bwd_core(acts, w, cdt, g_rgb8, g_sigma, acc_refs,
+                  want_input_grads=False)
+
+
+def _composite_bwd(rgb8, w_col, T_col, one_m, t, delta, g_ray, s):
+    """Backward through compositing: (TR, 8) per-ray cotangent ->
+    (g_rgb8 (TB,8), g_sigma (TB,1)) per-sample cotangents (see module doc
+    for the singularity-free dL/dsigma formula)."""
+    tb = w_col.shape[0]
     g_rep = _rep(g_ray, s)                            # (TB, 8)
     col8 = jax.lax.broadcasted_iota(jnp.int32, (tb, 8), 1)
-    rgb_part = jnp.where(col8 < 3, acts["rgb8"], 0.0)
+    rgb_part = jnp.where(col8 < 3, rgb8, 0.0)
     # dL/dw[row] = sum_c g_rgb[c]*rgb[c] + g_acc + g_depth * t
     g_w = (
         jnp.sum(jnp.where(col8 < 3, g_rep, 0.0) * rgb_part, axis=1, keepdims=True)
@@ -232,9 +242,7 @@ def _bwd_kernel(*refs, cdt, s, tr, slot, num_w):
     gww = g_w * w_col                                  # g_w * T * alpha
     suffix = _seg_rev_excl_cumsum_col(gww, s)
     g_sigma = (g_w * T_col * one_m - suffix) * delta   # d/d(relu'd sigma)
-
-    _mlp_bwd_core(acts, w, cdt, g_rgb8, g_sigma, acc_refs,
-                  want_input_grads=False)
+    return g_rgb8, g_sigma
 
 
 def _ray_specs(slot: int, p_pad: int, d_pad: int):

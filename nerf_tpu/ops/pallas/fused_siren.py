@@ -30,11 +30,39 @@ from nerf_tpu.ops.pallas.fused_nerf import (
     _enc_consts,
     _encode,
     _encode_bwd,
+    _matmul_precision,
     _mm,
     _round_up,
 )
 
 _NUM_BASE = 8
+
+# Fast VPU trig: Mosaic's exact f32 sin costs ~25 cycles/element and SIREN
+# evaluates ~0.5G sines per reference-shape forward (8 layers x 256 lanes
+# per sample), which made the sine — not the MXU — the bottleneck
+# (measured 40 ms/step vs ~10 for the same-FLOP NeRF; 10.7 ms with this).
+# Full-period range reduction (r = x - 2pi*round(x/(2pi)), no sign/parity
+# logic) + an odd degree-11 least-squares fit on [-pi, pi]: max |err|
+# 1.1e-5 over (-200, 200) — far below the bf16 rounding the compute mode
+# already accepts, at ~9 VPU ops. Used only in bfloat16 compute mode;
+# float32 mode keeps exact jnp trig.
+_TWO_PI = 6.283185307179586
+_INV_TWO_PI = 0.15915494309189535
+
+
+def _fast_sin(x):
+    r = x - _TWO_PI * jnp.round(x * _INV_TWO_PI)
+    r2 = r * r
+    return r * (9.9999970696e-01 + r2 * (-1.6666577198e-01 + r2 * (
+        8.3325579984e-03 + r2 * (-1.9812572238e-04 + r2 * (
+            2.7040473315e-06 + r2 * -2.0534080101e-08)))))
+
+
+def _trig(cdt):
+    if jnp.dtype(cdt) == jnp.bfloat16:
+        return _fast_sin, lambda x: _fast_sin(x + 0.5 * jnp.pi)
+    return jnp.sin, jnp.cos
+
 
 _WEIGHT_NAMES = tuple(
     n for i in range(1, _NUM_BASE + 1) for n in (f"w{i}", f"b{i}")
@@ -66,13 +94,19 @@ def pack_params(params: dict, d_pad: int, h: int) -> dict:
 
 def _forward_tile(pts8, dirs, w, enc_d, w0s, sigma_mul, rgb_mul, cdt):
     denc = _encode(dirs, *enc_d)
+    return _mlp_tile(pts8, denc, w, w0s, sigma_mul, rgb_mul, cdt)
 
+
+def _mlp_tile(pts8, denc, w, w0s, sigma_mul, rgb_mul, cdt):
+    """The SIREN chain on raw (zero-padded) points + pre-encoded dirs;
+    shared by the field kernel and the fused render kernel."""
+    sin, _ = _trig(cdt)
     zs = []
     x = pts8
     for i, w0 in enumerate(w0s, start=1):
         z = _mm(x, w[f"w{i}"], cdt) + w[f"b{i}"]
         zs.append(z)
-        x = jnp.sin(w0 * z)
+        x = sin(w0 * z)
     h8 = x
 
     sigma_pre = (
@@ -82,7 +116,7 @@ def _forward_tile(pts8, dirs, w, enc_d, w0s, sigma_mul, rgb_mul, cdt):
 
     feat = _mm(h8, w["wre"], cdt) + w["bre"]
     zr0 = _mm(feat, w["wr0f"], cdt) + _mm(denc, w["wr0d"], cdt) + w["br0"]
-    y = jnp.sin(w0s[-1] * zr0)  # rgb head SirenLayer uses hidden w0
+    y = sin(w0s[-1] * zr0)  # rgb head SirenLayer uses hidden w0
     rgb8 = jax.nn.sigmoid((_mm(y, w["wr1"], cdt) + w["br1"]) * rgb_mul)
     return dict(denc=denc, zs=zs, h8=h8, sigma_pre=sigma_pre, feat=feat,
                 zr0=zr0, y=y, rgb8=rgb8), sigma
@@ -125,11 +159,26 @@ def _bwd_kernel(pts_ref, dirs_ref, g_ref, *refs,
     g_rgb = jnp.where(col < 3, g, 0.0)
     g_sigma = jnp.sum(jnp.where(col == 3, g, 0.0), axis=1, keepdims=True)
 
+    dh, ddenc = _mlp_bwd_core(
+        acts, pts8, w, cdt, g_rgb, g_sigma, acc_refs, w0s, sigma_mul, rgb_mul
+    )
+    dpts_ref[:] = dh[:, :3]
+    ddirs_ref[:] = _encode_bwd(ddenc, dirs, *enc_d)
+
+
+def _mlp_bwd_core(acts, pts8, w, cdt, g_rgb, g_sigma, acc_refs,
+                  w0s, sigma_mul, rgb_mul, want_input_grads=True):
+    """Backward of `_mlp_tile`: accumulates weight/bias grads into acc_refs;
+    returns (dh w.r.t. pts8, ddenc) — input grads skipped when not wanted
+    (still walks the full chain, which every dW needs)."""
+    prec = _matmul_precision(cdt)
+    sin, cos = _trig(cdt)
+
     def mmT_acc(name, a, dz):
         acc_refs[name][:] += jax.lax.dot_general(
             a.astype(cdt), dz.astype(cdt),
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
 
     def db_acc(name, dz):
@@ -139,7 +188,7 @@ def _bwd_kernel(pts_ref, dirs_ref, g_ref, *refs,
         return jax.lax.dot_general(
             dz.astype(cdt), w[wname],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
 
     rgb8 = acts["rgb8"]
@@ -149,12 +198,12 @@ def _bwd_kernel(pts_ref, dirs_ref, g_ref, *refs,
     dy = dact(dzr1, "wr1")
 
     w0h = w0s[-1]
-    dzr0 = dy * w0h * jnp.cos(w0h * acts["zr0"])
+    dzr0 = dy * w0h * cos(w0h * acts["zr0"])
     mmT_acc("wr0f", acts["feat"], dzr0)
     mmT_acc("wr0d", acts["denc"], dzr0)
     db_acc("br0", dzr0)
     dfeat = dact(dzr0, "wr0f")
-    ddenc = dact(dzr0, "wr0d")
+    ddenc = dact(dzr0, "wr0d") if want_input_grads else None
 
     dsig = g_sigma * sigma_mul * (acts["sigma_pre"] > 0)
     mmT_acc("wre", acts["h8"], dfeat)
@@ -164,17 +213,16 @@ def _bwd_kernel(pts_ref, dirs_ref, g_ref, *refs,
     dh = dact(dfeat, "wre") + dsig * w["ws"].astype(jnp.float32)
 
     hs = [pts8] + [
-        jnp.sin(w0 * z) for w0, z in zip(w0s[:-1], acts["zs"][:-1])
+        sin(w0 * z) for w0, z in zip(w0s[:-1], acts["zs"][:-1])
     ]  # inputs to layers 1..8
     for i in range(_NUM_BASE, 0, -1):
         w0 = w0s[i - 1]
-        dz = dh * w0 * jnp.cos(w0 * acts["zs"][i - 1])
+        dz = dh * w0 * cos(w0 * acts["zs"][i - 1])
         mmT_acc(f"w{i}", hs[i - 1], dz)
         db_acc(f"b{i}", dz)
-        dh = dact(dz, f"w{i}")
-
-    dpts_ref[:] = dh[:, :3]
-    ddirs_ref[:] = _encode_bwd(ddenc, dirs, *enc_d)
+        if i > 1 or want_input_grads:
+            dh = dact(dz, f"w{i}")
+    return dh, ddenc
 
 
 def make_fused_siren_apply(model, tile_fwd: int = 2048, tile_bwd: int = 256,
@@ -235,6 +283,9 @@ def make_fused_siren_apply(model, tile_fwd: int = 2048, tile_bwd: int = 256,
                 bytes_accessed=n * 14 * 4,
                 transcendentals=n * (8 * h + d_pad + 8),
             ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(pts, dirs, *enc_args, *(wc[k] for k in _WEIGHT_NAMES))
 
@@ -275,6 +326,9 @@ def make_fused_siren_apply(model, tile_fwd: int = 2048, tile_bwd: int = 256,
                 flops=3 * 2 * n * mm_cols,
                 bytes_accessed=n * 20 * 4,
                 transcendentals=n * (16 * h + d_pad + 8),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
         )(pts, dirs, g, *enc_args, *(wc[k] for k in _WEIGHT_NAMES))

@@ -120,3 +120,73 @@ def test_fused_render_in_renderer_path():
     np.testing.assert_allclose(out_fused.rgb_coarse, out_plain.rgb_coarse,
                                atol=1e-4)
     np.testing.assert_allclose(out_fused.acc, out_plain.acc, atol=1e-4)
+
+
+def _setup_siren(num_rays=6, num_samples=32, seed=0):
+    from nerf_tpu.models import SirenModel
+
+    model = SirenModel()  # float32 compute => exact trig in-kernel
+    params = model.init(jax.random.key(seed))
+    rng = np.random.default_rng(seed)
+    rays_o = jnp.asarray(rng.uniform(2.5, 3.5, (num_rays, 3)), jnp.float32)
+    rd = rng.normal(size=(num_rays, 3))
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rays_d = jnp.asarray(rd, jnp.float32)
+    edges = np.linspace(NEAR, FAR, num_samples + 1)
+    t = edges[:-1] + rng.uniform(0, 1, (num_rays, num_samples)) * (
+        edges[1:] - edges[:-1]
+    )
+    return model, params, rays_o, rays_d, jnp.asarray(t, jnp.float32)
+
+
+def test_fused_siren_render_forward_matches_pure():
+    from nerf_tpu.ops.pallas.fused_render_siren import make_fused_siren_render
+
+    model, params, rays_o, rays_d, t = _setup_siren()
+    fr = make_fused_siren_render(model, NEAR, FAR, normalize=True,
+                                 interpret=True)
+    assert fr is not None
+    out_p = _pure(model, params, rays_o, rays_d, t)
+    out_f = fr(params, rays_o, rays_d, rays_d, t, deltas_from_t(t))
+    np.testing.assert_allclose(out_f["rgb"], out_p.rgb, atol=2e-5)
+    np.testing.assert_allclose(out_f["acc"], out_p.acc, atol=2e-5)
+    np.testing.assert_allclose(out_f["weights"], out_p.weights, atol=2e-5)
+
+
+def test_fused_siren_render_param_grads_match_pure():
+    from nerf_tpu.ops.pallas.fused_render_siren import make_fused_siren_render
+
+    model, params, rays_o, rays_d, t = _setup_siren()
+    fr = make_fused_siren_render(model, NEAR, FAR, normalize=True,
+                                 interpret=True)
+    rng = np.random.default_rng(1)
+    target = jnp.asarray(rng.uniform(0, 1, (rays_o.shape[0], 3)), jnp.float32)
+
+    def loss_pure(p):
+        out = _pure(model, p, rays_o, rays_d, t)
+        rgb = out.rgb + (1.0 - out.acc[:, None])
+        return jnp.mean((rgb - target) ** 2)
+
+    def loss_fused(p):
+        out = fr(p, rays_o, rays_d, rays_d, t, deltas_from_t(t))
+        rgb = out["rgb"] + (1.0 - out["acc"][:, None])
+        return jnp.mean((rgb - target) ** 2)
+
+    lp, gp = jax.value_and_grad(loss_pure)(params)
+    lf, gf = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gf)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-10
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-3
+        )
+
+
+def test_fast_sin_accuracy():
+    """The bf16-mode polynomial sine must stay well under bf16 rounding."""
+    from nerf_tpu.ops.pallas.fused_siren import _fast_sin
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=20000) * 40,
+                    jnp.float32)
+    err = np.max(np.abs(np.asarray(_fast_sin(x)) - np.sin(np.asarray(x))))
+    assert err < 1e-4, err
