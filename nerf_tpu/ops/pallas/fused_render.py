@@ -124,9 +124,12 @@ def _seg_rev_excl_cumsum_col(col, s: int):
 
 def _field_tile(oE, oS, dE, dS, denc_r, t, s, w, enc_p_phase, enc_p_mask, cdt):
     """Per-sample encodings from per-ray matrices, then the MLP chain."""
+    from nerf_tpu.ops.pallas.fused_nerf import _trig
+
+    sin, _ = _trig(cdt)
     penc_lin = _rep(oE, s) + t * _rep(dE, s)
     penc_arg = _rep(oS, s) + t * _rep(dS, s) + enc_p_phase
-    penc = penc_lin + enc_p_mask * jnp.sin(penc_arg)
+    penc = penc_lin + enc_p_mask * sin(penc_arg)
     denc = _rep(denc_r, s)
     return _mlp_tile(penc, denc, w, cdt)
 

@@ -30,38 +30,15 @@ from nerf_tpu.ops.pallas.fused_nerf import (
     _enc_consts,
     _encode,
     _encode_bwd,
+    _fast_sin,
     _matmul_precision,
     _mm,
     _round_up,
+    _trig,
 )
 
 _NUM_BASE = 8
 
-# Fast VPU trig: Mosaic's exact f32 sin costs ~25 cycles/element and SIREN
-# evaluates ~0.5G sines per reference-shape forward (8 layers x 256 lanes
-# per sample), which made the sine — not the MXU — the bottleneck
-# (measured 40 ms/step vs ~10 for the same-FLOP NeRF; 10.7 ms with this).
-# Full-period range reduction (r = x - 2pi*round(x/(2pi)), no sign/parity
-# logic) + an odd degree-11 least-squares fit on [-pi, pi]: max |err|
-# 1.1e-5 over (-200, 200) — far below the bf16 rounding the compute mode
-# already accepts, at ~9 VPU ops. Used only in bfloat16 compute mode;
-# float32 mode keeps exact jnp trig.
-_TWO_PI = 6.283185307179586
-_INV_TWO_PI = 0.15915494309189535
-
-
-def _fast_sin(x):
-    r = x - _TWO_PI * jnp.round(x * _INV_TWO_PI)
-    r2 = r * r
-    return r * (9.9999970696e-01 + r2 * (-1.6666577198e-01 + r2 * (
-        8.3325579984e-03 + r2 * (-1.9812572238e-04 + r2 * (
-            2.7040473315e-06 + r2 * -2.0534080101e-08)))))
-
-
-def _trig(cdt):
-    if jnp.dtype(cdt) == jnp.bfloat16:
-        return _fast_sin, lambda x: _fast_sin(x + 0.5 * jnp.pi)
-    return jnp.sin, jnp.cos
 
 
 _WEIGHT_NAMES = tuple(

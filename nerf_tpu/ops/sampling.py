@@ -106,15 +106,29 @@ def sample_pdf(
             key, (num_rays, num_samples), dtype=jnp.float32, maxval=1.0 - 1e-5
         )
 
-    # searchsorted per ray: idx in [1, M+1); below/above bracket the u value.
-    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # searchsorted(side="right") as a vectorized compare-count: TPU lowers
+    # jnp.searchsorted to a sequential binary-search while-loop (~6.5 ms/step
+    # measured at the 1024x128 fine-sampling shape) whereas the count is a
+    # single (R, F, M+1) VPU broadcast — exact same result for a sorted cdf.
+    idx = jnp.sum(
+        (u[..., None] >= cdf[..., None, :]).astype(jnp.int32), axis=-1
+    )
     below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
     above = jnp.clip(idx, 0, cdf.shape[-1] - 1)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, jnp.clip(below, 0, bins.shape[-1] - 1), axis=-1)
-    bins_above = jnp.take_along_axis(bins, jnp.clip(above, 0, bins.shape[-1] - 1), axis=-1)
+    def take(arr, ix):
+        # one-hot contraction instead of take_along_axis (gathers are
+        # similarly slow on TPU); exact: ix is in range by construction.
+        k = arr.shape[-1]
+        onehot = ix[..., None] == jnp.arange(k, dtype=jnp.int32)
+        return jnp.sum(
+            jnp.where(onehot, arr[..., None, :], 0.0), axis=-1
+        )
+
+    cdf_below = take(cdf, below)
+    cdf_above = take(cdf, above)
+    bins_below = take(bins, jnp.clip(below, 0, bins.shape[-1] - 1))
+    bins_above = take(bins, jnp.clip(above, 0, bins.shape[-1] - 1))
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, 1.0, denom)
@@ -123,5 +137,22 @@ def sample_pdf(
 
 
 def merge_samples(t_coarse: jax.Array, t_fine: jax.Array) -> jax.Array:
-    """Sorted union of coarse and fine t-samples along the last axis."""
-    return jnp.sort(jnp.concatenate([t_coarse, t_fine], axis=-1), axis=-1)
+    """Sorted union of coarse and fine t-samples along the last axis.
+
+    Implemented as a stable rank-by-count + one-hot permutation rather than
+    ``jnp.sort``: XLA's TPU sort of a (R, 192) batch costs several ms/step
+    at training shapes, while the (R, M, M) comparison matrix is a cheap VPU
+    broadcast for M <= a few hundred. Identical output (stable tie order)."""
+    x = jnp.concatenate([t_coarse, t_fine], axis=-1)
+    m = x.shape[-1]
+    xi = x[..., :, None]          # element i
+    xj = x[..., None, :]          # element j
+    j_lt_i = (
+        jnp.arange(m, dtype=jnp.int32)[:, None]
+        > jnp.arange(m, dtype=jnp.int32)[None, :]
+    )
+    rank = jnp.sum(
+        (xj < xi) | ((xj == xi) & j_lt_i), axis=-1
+    )                              # (R, M) each element's sorted position
+    onehot = rank[..., None] == jnp.arange(m, dtype=jnp.int32)
+    return jnp.sum(jnp.where(onehot, xi, 0.0), axis=-2)

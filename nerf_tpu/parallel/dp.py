@@ -29,7 +29,7 @@ from jax import shard_map
 from nerf_tpu.data.pipeline import RayBatch, RayPool
 from nerf_tpu.render.renderer import RenderSettings, render_rays
 from nerf_tpu.train.state import TrainState
-from nerf_tpu.train.step import resolve_apply_fn
+from nerf_tpu.train.step import resolve_apply_fn, resolve_fused_render
 
 
 def make_dp_train_step(
@@ -46,7 +46,9 @@ def make_dp_train_step(
     """Returns ``step(state, pool) -> (state, metrics)`` with explicit
     per-device sampling and psum gradient reduction. ``pool`` must be placed
     with `nerf_tpu.parallel.mesh.shard_pool`."""
-    apply_fn = resolve_apply_fn(model, use_pallas)
+    fused_render = resolve_fused_render(model, settings, use_pallas)
+    apply_fn = (model.apply if fused_render is not None
+                else resolve_apply_fn(model, use_pallas))
     num_shards = mesh.shape[axis]
     if batch_size % num_shards:
         raise ValueError(f"batch_size {batch_size} not divisible by {num_shards}")
@@ -63,6 +65,7 @@ def make_dp_train_step(
             settings,
             fine_params=fine_params if fine_params else None,
             viewdirs=batch.viewdirs,
+            fused_render=fused_render,
         )
         mse = jnp.mean((out.rgb - batch.rgb) ** 2)
         loss = mse
