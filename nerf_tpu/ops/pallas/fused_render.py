@@ -248,6 +248,73 @@ def _composite_bwd(rgb8, w_col, T_col, one_m, t, delta, g_ray, s):
     return g_rgb8, g_sigma
 
 
+def _mse_cotangent(ray_out, target8, tr, slot, tile_idx, num_valid,
+                   white_bg, scale):
+    """In-kernel MSE head: white-background compose, per-tile loss partial,
+    and the analytic per-ray cotangent [g_rgb, g_acc, 0...] — what lets one
+    kernel do forward AND backward without a recompute (the loss cotangent
+    is a closed form of (render, target))."""
+    col8 = jax.lax.broadcasted_iota(jnp.int32, (tr, 8), 1)
+    ridx = tile_idx * tr + jax.lax.broadcasted_iota(jnp.int32, (tr, 8), 0)
+    valid = ridx < num_valid
+    acc_col = jnp.sum(jnp.where(col8 == 3, ray_out, 0.0), axis=1,
+                      keepdims=True)
+    rgbw = ray_out + (white_bg * (1.0 - acc_col) if white_bg else 0.0)
+    err8 = jnp.where((col8 < 3) & valid, rgbw - target8, 0.0)
+    loss_tile = scale * jnp.sum(err8 * err8)
+    g_rgbw = (2.0 * scale) * err8                      # cols >= 3 already 0
+    g_sum = jnp.sum(g_rgbw, axis=1, keepdims=True)
+    g_ray = g_rgbw + jnp.where(col8 == 3, -white_bg * g_sum, 0.0)
+    return loss_tile, g_ray
+
+
+def _train_kernel(*refs, cdt, s, tr, slot, num_w, white_bg, scale, num_valid):
+    """One pass over a ray tile: forward + MSE loss + full backward, with
+    every activation staying in VMEM (no recompute — the backward-kernel
+    route pays the forward twice)."""
+    (oE_r, oS_r, dE_r, dS_r, denc_r, t_r, d_r, tgt_r), refs = refs[:8], refs[8:]
+    (pphase_r, pmask_r), refs = refs[:2], refs[2:]
+    w_refs = refs[:num_w]
+    loss_ref, out_ref, wcol_ref = refs[num_w], refs[num_w + 1], refs[num_w + 2]
+    acc_refs = dict(zip(_WEIGHT_NAMES, refs[num_w + 3:]))
+    w = {k: v[:] for k, v in zip(_WEIGHT_NAMES, w_refs)}
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        loss_ref[:] = jnp.zeros_like(loss_ref)
+        for r in acc_refs.values():
+            r[:] = jnp.zeros_like(r)
+
+    tb = tr * s
+    g8 = _onehot_rows(tb, tr, s)
+    t, delta = t_r[:], d_r[:]
+    acts, sigma = _field_tile(
+        oE_r[:][:tr], oS_r[:][:tr], dE_r[:][:tr], dS_r[:][:tr],
+        denc_r[:][:tr], t, s, w, pphase_r[:], pmask_r[:], cdt,
+    )
+    ray_out, w_col, T_col, one_m = _composite_tile(
+        acts, sigma, t, delta, g8, tb, tr, s
+    )
+
+    loss_tile, g_ray = _mse_cotangent(
+        ray_out, tgt_r[:][:tr], tr, slot, pl.program_id(0), num_valid,
+        white_bg, scale,
+    )
+    lcol = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    loss_ref[:] += jnp.where(lcol == 0, loss_tile, 0.0)
+
+    g_rgb8, g_sigma = _composite_bwd(
+        acts["rgb8"], w_col, T_col, one_m, t, delta, g_ray, s
+    )
+    _mlp_bwd_core(acts, w, cdt, g_rgb8, g_sigma, acc_refs,
+                  want_input_grads=False)
+
+    if slot != tr:
+        ray_out = jnp.pad(ray_out, ((0, slot - tr), (0, 0)))
+    out_ref[:] = ray_out
+    wcol_ref[:] = w_col
+
+
 def _ray_specs(slot: int, p_pad: int, d_pad: int):
     def spec(width):
         return pl.BlockSpec((slot, width), lambda i: (i, 0),
@@ -374,6 +441,105 @@ def _build_fused_render(h, p_pad, d_pad, s, tr_fwd, tr_bwd, cdt, interpret):
     return fused
 
 
+def _build_fused_train(h, p_pad, d_pad, s, tr, cdt, white_bg, scale,
+                       num_valid, interpret):
+    """Single-kernel train pass: forward + MSE + backward per ray tile.
+
+    Compared to fused(fwd kernel) + custom-VJP bwd kernel this removes the
+    backward's forward recompute (4x -> 3x forward matmul FLOPs per step):
+    the loss cotangent is analytic given the target, so nothing forces the
+    fwd/bwd split that reverse-mode autodiff otherwise imposes. Exposed as
+    a scalar-loss custom_vjp: the kernel accumulates dL/dpacked alongside
+    the loss; the VJP just scales the stored grads by the loss cotangent.
+    """
+    num_w = len(_WEIGHT_NAMES)
+    slot = _round_up(tr, 8)
+
+    mm_cols = (p_pad * h + 4 * h * h) + ((h + p_pad) * h + 3 * h * h) \
+        + (h * h + h) + ((h + d_pad) * (h // 2) + (h // 2) * 8)
+
+    def run_train(wc, prep, target8, pphase, pmask):
+        oE, oS, dE, dS, denc, t_col, d_col = prep
+        n = t_col.shape[0]
+        tb = tr * s
+        n_tiles = n // tb
+        oE, oS, dE, dS, denc, target8 = (
+            _slot_rays(x, tr, slot) for x in (oE, oS, dE, dS, denc, target8)
+        )
+        enc_specs = [
+            pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for a in (pphase, pmask)
+        ]
+        row8 = pl.BlockSpec((slot, 8), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        loss_spec = pl.BlockSpec((1, 8), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        acc_specs = [
+            pl.BlockSpec(wc[k].shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for k in _WEIGHT_NAMES
+        ]
+        acc_shapes = [
+            jax.ShapeDtypeStruct(wc[k].shape, jnp.float32)
+            for k in _WEIGHT_NAMES
+        ]
+        outs = pl.pallas_call(
+            functools.partial(_train_kernel, cdt=cdt, s=s, tr=tr, slot=slot,
+                              num_w=num_w, white_bg=white_bg, scale=scale,
+                              num_valid=num_valid),
+            grid=(n_tiles,),
+            in_specs=_ray_specs(slot, p_pad, d_pad)
+            + [_col_spec(tb), _col_spec(tb), row8]
+            + enc_specs + _weight_specs(wc),
+            out_specs=[loss_spec, row8, _col_spec(tb)] + acc_specs,
+            out_shape=[
+                jax.ShapeDtypeStruct((1, 8), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * slot, 8), jnp.float32),
+                jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            ]
+            + acc_shapes,
+            cost_estimate=pl.CostEstimate(
+                flops=3 * 2 * n * mm_cols,
+                bytes_accessed=n * 3 * 4 + (n // s) * (16 + 5 * p_pad) * 4,
+                transcendentals=n * (p_pad + 8 + 1),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(oE, oS, dE, dS, denc, t_col, d_col, target8, pphase, pmask,
+          *(wc[k] for k in _WEIGHT_NAMES))
+        loss = outs[0][0, 0]
+        ray_out = _unslot_rays(outs[1], tr, slot)
+        w_col = outs[2]
+        dpacked = dict(zip(_WEIGHT_NAMES, outs[3:]))
+        return loss, ray_out, w_col, dpacked
+
+    @jax.custom_vjp
+    def fused_train(packed, prep, target8, pphase, pmask):
+        loss, ray_out, w_col, _ = run_train(
+            _cast_weights(packed, cdt), prep, target8, pphase, pmask
+        )
+        return loss, ray_out, w_col
+
+    def train_fwd(packed, prep, target8, pphase, pmask):
+        loss, ray_out, w_col, dpacked = run_train(
+            _cast_weights(packed, cdt), prep, target8, pphase, pmask
+        )
+        return (loss, ray_out, w_col), (dpacked, prep, target8, pphase, pmask)
+
+    def train_bwd(res, g):
+        dpacked, prep, target8, pphase, pmask = res
+        g_loss, _g_rayout, _g_wcol = g  # ray_out/weights are stop-gradient
+        dp = jax.tree.map(lambda a: a * g_loss, dpacked)
+        return (dp, jax.tree.map(jnp.zeros_like, prep),
+                jnp.zeros_like(target8), jnp.zeros_like(pphase),
+                jnp.zeros_like(pmask))
+
+    fused_train.defvjp(train_fwd, train_bwd)
+    return fused_train
+
+
 class FusedNerfRender:
     """Callable: fully fused render of a (rays, samples) batch.
 
@@ -489,6 +655,62 @@ class FusedNerfRender:
                 w_col.reshape(r_pad, s)[:num_rays]
             ),
         }
+
+    def _get_train(self, s: int, white_bg: bool, num_valid: int):
+        key = (s, white_bg, num_valid)
+        if key not in self._cache:
+            def pick(tile_points: int) -> int:
+                tr = max(1, tile_points // s)
+                while (tr * s) % 8:
+                    tr += 1
+                return tr
+
+            tr = pick(self.tile_points_bwd)
+            scale = 1.0 / (3.0 * num_valid)
+            self._cache[key] = (
+                _build_fused_train(
+                    self.h, self.p_pad, self.d_pad, s, tr, self.cdt,
+                    white_bg, scale, num_valid, self.interpret,
+                ),
+                tr,
+            )
+        return self._cache[key]
+
+    def train(self, params, rays_o, rays_d, viewdirs, t, deltas, target,
+              white_bg: bool):
+        """One fused train pass: returns (mse_loss, aux) where aux carries
+        ``rgb``/``acc``/``weights`` as stop-gradient byproducts.
+
+        The loss is exactly ``mean((compose(render, white_bg) - target)**2)``
+        over the real rays and differentiable w.r.t. ``params`` (via the
+        in-kernel analytic cotangent) — the single-kernel fwd+bwd saves the
+        backward's forward recompute that the __call__ + autodiff route pays.
+        """
+        num_rays, s = t.shape
+        fused_train, tr = self._get_train(s, white_bg, num_rays)
+        r_pad = _round_up(max(num_rays, tr), tr)
+        if r_pad != num_rays:
+            pad = r_pad - num_rays
+            rays_o = jnp.pad(rays_o, ((0, pad), (0, 0)))
+            rays_d = jnp.pad(rays_d, ((0, pad), (0, 0)))
+            viewdirs = jnp.pad(viewdirs, ((0, pad), (0, 0)))
+            t = jnp.pad(t, ((0, pad), (0, 0)))
+            deltas = jnp.pad(deltas, ((0, pad), (0, 0)))
+        target8 = jnp.pad(target, ((0, r_pad - num_rays), (0, 5)))
+        prep = self._prep(rays_o, rays_d, viewdirs, t, deltas)
+        packed = pack_params(params, self.p_pad, self.d_pad)
+        loss, ray_out, w_col = fused_train(
+            packed, prep, target8, self._phase_p, self._mask_p
+        )
+        ray_out = jax.lax.stop_gradient(ray_out[:num_rays])
+        aux = {
+            "rgb": ray_out[:, :3],
+            "acc": ray_out[:, 3],
+            "weights": jax.lax.stop_gradient(
+                w_col.reshape(r_pad, s)[:num_rays]
+            ),
+        }
+        return loss, aux
 
 
 def make_fused_nerf_render(model, near, far, normalize=True,

@@ -31,6 +31,7 @@ from nerf_tpu.ops.pallas.fused_render import (
     _col_spec,
     _composite_bwd,
     _composite_tile,
+    _mse_cotangent,
     _onehot_rows,
     _rep,
     _slot_rays,
@@ -97,6 +98,52 @@ def _bwd_kernel(*refs, cdt, s, tr, slot, num_w, w0s, sigma_mul, rgb_mul):
     )
     _mlp_bwd_core(acts, pts8, w, cdt, g_rgb8, g_sigma, acc_refs,
                   w0s, sigma_mul, rgb_mul, want_input_grads=False)
+
+
+def _train_kernel(*refs, cdt, s, tr, slot, num_w, w0s, sigma_mul, rgb_mul,
+                  white_bg, scale, num_valid):
+    """Single-kernel SIREN train pass: forward + MSE + backward (see the
+    NeRF counterpart in fused_render._train_kernel)."""
+    (o8_r, d8_r, denc_r, t_r, dl_r, tgt_r), refs = refs[:6], refs[6:]
+    w_refs = refs[:num_w]
+    loss_ref, out_ref, wcol_ref = refs[num_w], refs[num_w + 1], refs[num_w + 2]
+    acc_refs = dict(zip(_WEIGHT_NAMES, refs[num_w + 3:]))
+    w = {k: v[:] for k, v in zip(_WEIGHT_NAMES, w_refs)}
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        loss_ref[:] = jnp.zeros_like(loss_ref)
+        for r in acc_refs.values():
+            r[:] = jnp.zeros_like(r)
+
+    tb = tr * s
+    g8 = _onehot_rows(tb, tr, s)
+    t, delta = t_r[:], dl_r[:]
+    (acts, sigma), pts8 = _field_tile(
+        o8_r[:][:tr], d8_r[:][:tr], denc_r[:][:tr], t, s, w,
+        w0s, sigma_mul, rgb_mul, cdt,
+    )
+    ray_out, w_col, T_col, one_m = _composite_tile(
+        acts, sigma, t, delta, g8, tb, tr, s
+    )
+
+    loss_tile, g_ray = _mse_cotangent(
+        ray_out, tgt_r[:][:tr], tr, slot, pl.program_id(0), num_valid,
+        white_bg, scale,
+    )
+    lcol = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    loss_ref[:] += jnp.where(lcol == 0, loss_tile, 0.0)
+
+    g_rgb8, g_sigma = _composite_bwd(
+        acts["rgb8"], w_col, T_col, one_m, t, delta, g_ray, s
+    )
+    _mlp_bwd_core(acts, pts8, w, cdt, g_rgb8, g_sigma, acc_refs,
+                  w0s, sigma_mul, rgb_mul, want_input_grads=False)
+
+    if slot != tr:
+        ray_out = jnp.pad(ray_out, ((0, slot - tr), (0, 0)))
+    out_ref[:] = ray_out
+    wcol_ref[:] = w_col
 
 
 def _ray_specs(slot: int, d_pad: int):
@@ -214,6 +261,96 @@ def _build(h, d_pad, s, tr_fwd, tr_bwd, cdt, w0s, sigma_mul, rgb_mul,
     return fused
 
 
+def _build_train(h, d_pad, s, tr, cdt, w0s, sigma_mul, rgb_mul, white_bg,
+                 scale, num_valid, interpret):
+    num_w = len(_WEIGHT_NAMES)
+    slot = _round_up(tr, 8)
+    kern_args = dict(cdt=cdt, s=s, w0s=w0s, sigma_mul=sigma_mul,
+                     rgb_mul=rgb_mul)
+    mm_cols = 8 * h + 7 * h * h + h + h * h + (h + d_pad) * (h // 2) \
+        + (h // 2) * 8
+
+    def weight_specs(wc):
+        return [
+            pl.BlockSpec(wc[n].shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for n in _WEIGHT_NAMES
+        ]
+
+    def run_train(wc, prep, target8):
+        o8, d8, denc, t_col, d_col = prep
+        n = t_col.shape[0]
+        tb = tr * s
+        n_tiles = n // tb
+        o8, d8, denc, target8 = (
+            _slot_rays(x, tr, slot) for x in (o8, d8, denc, target8)
+        )
+        row8 = pl.BlockSpec((slot, 8), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        loss_spec = pl.BlockSpec((1, 8), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        acc_specs = [
+            pl.BlockSpec(wc[k].shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for k in _WEIGHT_NAMES
+        ]
+        acc_shapes = [
+            jax.ShapeDtypeStruct(wc[k].shape, jnp.float32)
+            for k in _WEIGHT_NAMES
+        ]
+        outs = pl.pallas_call(
+            functools.partial(_train_kernel, tr=tr, slot=slot, num_w=num_w,
+                              white_bg=white_bg, scale=scale,
+                              num_valid=num_valid, **kern_args),
+            grid=(n_tiles,),
+            in_specs=_ray_specs(slot, d_pad)
+            + [_col_spec(tb), _col_spec(tb), row8] + weight_specs(wc),
+            out_specs=[loss_spec, row8, _col_spec(tb)] + acc_specs,
+            out_shape=[
+                jax.ShapeDtypeStruct((1, 8), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * slot, 8), jnp.float32),
+                jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            ]
+            + acc_shapes,
+            cost_estimate=pl.CostEstimate(
+                flops=3 * 2 * n * mm_cols,
+                bytes_accessed=n * 3 * 4 + (n // s) * 32 * 4,
+                transcendentals=n * (16 * h + 8),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(o8, d8, denc, t_col, d_col, target8,
+          *(wc[k] for k in _WEIGHT_NAMES))
+        loss = outs[0][0, 0]
+        ray_out = _unslot_rays(outs[1], tr, slot)
+        return loss, ray_out, outs[2], dict(zip(_WEIGHT_NAMES, outs[3:]))
+
+    @jax.custom_vjp
+    def fused_train(packed, prep, target8):
+        loss, ray_out, w_col, _ = run_train(
+            _cast_weights(packed, cdt), prep, target8
+        )
+        return loss, ray_out, w_col
+
+    def train_fwd(packed, prep, target8):
+        loss, ray_out, w_col, dpacked = run_train(
+            _cast_weights(packed, cdt), prep, target8
+        )
+        return (loss, ray_out, w_col), (dpacked, prep, target8)
+
+    def train_bwd(res, g):
+        dpacked, prep, target8 = res
+        g_loss, _g_rayout, _g_wcol = g
+        dp = jax.tree.map(lambda a: a * g_loss, dpacked)
+        return (dp, jax.tree.map(jnp.zeros_like, prep),
+                jnp.zeros_like(target8))
+
+    fused_train.defvjp(train_fwd, train_bwd)
+    return fused_train
+
+
 class FusedSirenRender:
     """Callable fully fused SIREN render; same contract as FusedNerfRender."""
 
@@ -309,6 +446,53 @@ class FusedSirenRender:
                 w_col.reshape(r_pad, s)[:num_rays]
             ),
         }
+
+    def _get_train(self, s: int, white_bg: bool, num_valid: int):
+        key = (s, white_bg, num_valid)
+        if key not in self._cache:
+            def pick(tile_points: int) -> int:
+                tr = max(1, tile_points // s)
+                while (tr * s) % 8:
+                    tr += 1
+                return tr
+
+            tr = pick(self.tile_points_bwd)
+            self._cache[key] = (
+                _build_train(
+                    self.h, self.d_pad, s, tr, self.cdt, self.w0s,
+                    self.sigma_mul, self.rgb_mul, white_bg,
+                    1.0 / (3.0 * num_valid), num_valid, self.interpret,
+                ),
+                tr,
+            )
+        return self._cache[key]
+
+    def train(self, params, rays_o, rays_d, viewdirs, t, deltas, target,
+              white_bg: bool):
+        """Single-kernel train pass; same contract as FusedNerfRender.train."""
+        num_rays, s = t.shape
+        fused_train, tr = self._get_train(s, white_bg, num_rays)
+        r_pad = _round_up(max(num_rays, tr), tr)
+        if r_pad != num_rays:
+            pad = r_pad - num_rays
+            rays_o = jnp.pad(rays_o, ((0, pad), (0, 0)))
+            rays_d = jnp.pad(rays_d, ((0, pad), (0, 0)))
+            viewdirs = jnp.pad(viewdirs, ((0, pad), (0, 0)))
+            t = jnp.pad(t, ((0, pad), (0, 0)))
+            deltas = jnp.pad(deltas, ((0, pad), (0, 0)))
+        target8 = jnp.pad(target, ((0, r_pad - num_rays), (0, 5)))
+        prep = self._prep(rays_o, rays_d, viewdirs, t, deltas)
+        packed = pack_params(params, self.d_pad, self.h)
+        loss, ray_out, w_col = fused_train(packed, prep, target8)
+        ray_out = jax.lax.stop_gradient(ray_out[:num_rays])
+        aux = {
+            "rgb": ray_out[:, :3],
+            "acc": ray_out[:, 3],
+            "weights": jax.lax.stop_gradient(
+                w_col.reshape(r_pad, s)[:num_rays]
+            ),
+        }
+        return loss, aux
 
 
 def make_fused_siren_render(model, near, far, normalize=True,

@@ -201,6 +201,63 @@ def render_rays(
     )
 
 
+def render_rays_train(
+    fused_render,
+    params: dict,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    key: jax.Array,
+    settings: RenderSettings,
+    target: jax.Array,
+    fine_params: Optional[dict] = None,
+    viewdirs: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Training loss via the single-kernel fused train pass(es).
+
+    Returns ``(loss, mse)`` with the exact semantics of rendering then
+    taking MSE against ``target`` (plus the coarse MSE term when
+    hierarchical) — but each pass is ONE Pallas kernel doing forward + loss
+    + backward with activations resident in VMEM, saving the forward
+    recompute that the render-then-autodiff route pays. Sampling (stratified
+    jitter, inverse-CDF, merge) stays in XLA and is driven by the same PRNG
+    stream as `render_rays`, so the two paths train identically.
+    """
+    num_rays = rays_o.shape[0]
+    if viewdirs is None:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    k_coarse, k_fine = jax.random.split(key)
+    t = stratified_sample(
+        k_coarse,
+        settings.near,
+        settings.far,
+        settings.num_samples,
+        num_rays,
+        jitter_mode=settings.jitter_mode,
+        perturb=settings.perturb,
+    )
+    loss_c, aux_c = fused_render.train(
+        params, rays_o, rays_d, viewdirs, t, deltas_from_t(t), target,
+        settings.white_background,
+    )
+    if settings.num_fine_samples <= 0:
+        return loss_c, loss_c
+
+    t_mid = 0.5 * (t[..., 1:] + t[..., :-1])
+    w_mid = aux_c["weights"][..., 1:-1]  # already stop-gradient
+    t_fine = sample_pdf(
+        k_fine, t_mid, w_mid, settings.num_fine_samples,
+        deterministic=not settings.perturb,
+    )
+    t_all = merge_samples(t, jax.lax.stop_gradient(t_fine))
+    loss_f, _ = fused_render.train(
+        fine_params if fine_params is not None else params,
+        rays_o, rays_d, viewdirs, t_all, deltas_from_t(t_all), target,
+        settings.white_background,
+    )
+    return loss_f + loss_c, loss_f
+
+
 def render_image(
     apply_fn: ApplyFn,
     params: dict,

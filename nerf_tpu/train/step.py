@@ -109,9 +109,26 @@ def _make_step_body(
 ):
     """The un-jitted single-iteration body shared by the one-step and
     scanned trainers: sample batch -> render -> MSE -> grad -> optax update."""
+    # Single-kernel fused train pass (fwd + MSE + bwd in one Pallas call,
+    # no forward recompute) when the kernel provides it.
+    use_fused_train = fused_render is not None and hasattr(fused_render, "train")
 
     def loss_fn(param_pair, batch: RayBatch, key: jax.Array):
         params, fine_params = param_pair
+        if use_fused_train:
+            from nerf_tpu.render.renderer import render_rays_train
+
+            return render_rays_train(
+                fused_render,
+                params,
+                batch.rays_o,
+                batch.rays_d,
+                key,
+                settings,
+                batch.rgb,
+                fine_params=fine_params if fine_params else None,
+                viewdirs=batch.viewdirs,
+            )
         out = render_rays(
             apply_fn,
             params,

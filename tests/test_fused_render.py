@@ -190,3 +190,53 @@ def test_fast_sin_accuracy():
                     jnp.float32)
     err = np.max(np.abs(np.asarray(_fast_sin(x)) - np.sin(np.asarray(x))))
     assert err < 1e-4, err
+
+
+@pytest.mark.parametrize("model_kind", ["nerf", "siren"])
+@pytest.mark.parametrize("fine", [0, 8])
+def test_fused_train_path_matches_pure_loss(model_kind, fine):
+    """render_rays_train (single-kernel fwd+MSE+bwd) must reproduce the
+    render-then-MSE loss and its parameter gradients."""
+    from nerf_tpu.render.renderer import (
+        RenderSettings, render_rays, render_rays_train,
+    )
+
+    if model_kind == "nerf":
+        model, params, rays_o, rays_d, _ = _setup(num_samples=16)
+        from nerf_tpu.ops.pallas.fused_render import make_fused_nerf_render
+        fr = make_fused_nerf_render(model, NEAR, FAR, normalize=True,
+                                    interpret=True)
+    else:
+        model, params, rays_o, rays_d, _ = _setup_siren(num_samples=16)
+        from nerf_tpu.ops.pallas.fused_render_siren import (
+            make_fused_siren_render,
+        )
+        fr = make_fused_siren_render(model, NEAR, FAR, normalize=True,
+                                     interpret=True)
+    settings = RenderSettings(near=NEAR, far=FAR, num_samples=16,
+                              num_fine_samples=fine, white_background=True)
+    key = jax.random.key(5)
+    rng = np.random.default_rng(2)
+    target = jnp.asarray(rng.uniform(0, 1, (rays_o.shape[0], 3)), jnp.float32)
+
+    def loss_pure(p):
+        # the render-route loss, same PRNG stream and pass structure
+        out = render_rays(model.apply, p, rays_o, rays_d, key, settings,
+                          fused_render=fr)
+        loss = jnp.mean((out.rgb - target) ** 2)
+        if fine:
+            loss = loss + jnp.mean((out.rgb_coarse - target) ** 2)
+        return loss
+
+    def loss_train(p):
+        return render_rays_train(fr, p, rays_o, rays_d, key, settings,
+                                 target)[0]
+
+    lp, gp = jax.value_and_grad(loss_pure)(params)
+    lt, gt = jax.value_and_grad(loss_train)(params)
+    np.testing.assert_allclose(float(lt), float(lp), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gt)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-10
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-4
+        )
