@@ -572,6 +572,10 @@ class FusedNerfRender:
             tile_points_bwd = 768 if bf16 else 512
         self.tile_points_fwd = tile_points_fwd
         self.tile_points_bwd = tile_points_bwd
+        # the single-kernel train pass holds the same activation set but no
+        # separate fwd stage; a larger tile amortizes its fixed costs better
+        # (swept: 1536 beats 768 by ~1.5% on v5e bf16)
+        self.tile_points_train = 1536 if bf16 else 512
         self.interpret = interpret
         self._cache = {}
 
@@ -665,7 +669,7 @@ class FusedNerfRender:
                     tr += 1
                 return tr
 
-            tr = pick(self.tile_points_bwd)
+            tr = pick(self.tile_points_train)
             scale = 1.0 / (3.0 * num_valid)
             self._cache[key] = (
                 _build_fused_train(

@@ -371,6 +371,10 @@ class FusedSirenRender:
             tile_points_bwd = 768 if bf16 else 512
         self.tile_points_fwd = tile_points_fwd
         self.tile_points_bwd = tile_points_bwd
+        # the single-kernel train pass holds the same activation set but no
+        # separate fwd stage; a larger tile amortizes its fixed costs better
+        # (swept: 1536 beats 768 by ~1.5% on v5e bf16)
+        self.tile_points_train = 1536 if bf16 else 512
         self.interpret = interpret
         self.w0s = tuple([model.w0] + [model.hidden_w0] * (model.num_layers - 1))
         self.sigma_mul, self.rgb_mul = model.sigma_mul, model.rgb_mul
@@ -456,7 +460,7 @@ class FusedSirenRender:
                     tr += 1
                 return tr
 
-            tr = pick(self.tile_points_bwd)
+            tr = pick(self.tile_points_train)
             self._cache[key] = (
                 _build_train(
                     self.h, self.d_pad, s, tr, self.cdt, self.w0s,
