@@ -37,6 +37,14 @@ def main(argv=None) -> None:
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--output", type=str, default="rendered_frames")
+    parser.add_argument(
+        "--video", type=str, default="",
+        help="also write the orbit as an animated file (.gif or .mp4) "
+             "at this path (extension picks the format)",
+    )
+    parser.add_argument(
+        "--fps", type=int, default=20, help="frame rate for --video",
+    )
     args = parser.parse_args(argv)
 
     cfg = parse_config_file(args.config)
@@ -82,6 +90,7 @@ def main(argv=None) -> None:
     import imageio.v2 as imageio
     from tqdm import tqdm
 
+    frames = []
     for i in tqdm(range(poses.shape[0]), desc="Rendering frames", unit="frame"):
         c2w = np.eye(4, dtype=np.float32)
         c2w[: poses[i].shape[0]] = poses[i]
@@ -101,10 +110,21 @@ def main(argv=None) -> None:
             viewdirs=viewdirs,
         )
         frame = np.clip(np.asarray(out.rgb).reshape(h, w, 3), 0.0, 1.0)
+        frame_u8 = (frame * 255).astype(np.uint8)
         imageio.imwrite(
-            os.path.join(args.output, f"frame_{i:04d}.png"),
-            (frame * 255).astype(np.uint8),
+            os.path.join(args.output, f"frame_{i:04d}.png"), frame_u8
         )
+        if args.video:
+            frames.append(frame_u8)
+
+    if args.video:
+        try:
+            imageio.mimsave(args.video, frames, fps=args.fps)
+            print(f"Wrote {args.video} ({len(frames)} frames @ {args.fps} fps)")
+        except Exception as e:  # e.g. no mp4 codec in the environment
+            gif = os.path.splitext(args.video)[0] + ".gif"
+            imageio.mimsave(gif, frames, fps=args.fps)
+            print(f"{type(e).__name__} writing {args.video}; wrote {gif} instead")
 
 
 if __name__ == "__main__":
