@@ -23,7 +23,6 @@ from nerf_tpu.config import parse_config_file
 from nerf_tpu.data.blender import load_blender
 from nerf_tpu.data.poses import spherical_orbit
 from nerf_tpu.data.rays import compute_rays_single
-from nerf_tpu.models.registry import model_from_config
 from nerf_tpu.train.loop import render_settings_from_config
 from nerf_tpu.train.state import create_train_state
 from nerf_tpu.train.step import make_eval_render

@@ -13,8 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import sys
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
 
 
 def parse_kv_file(path: str) -> dict[str, str]:

@@ -29,8 +29,6 @@ reference implementation and the CPU fallback.
 from __future__ import annotations
 
 import functools
-from typing import Any
-
 import numpy as np
 import jax
 import jax.numpy as jnp

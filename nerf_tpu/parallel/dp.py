@@ -54,8 +54,19 @@ def make_dp_train_step(
         raise ValueError(f"batch_size {batch_size} not divisible by {num_shards}")
     local_batch = batch_size // num_shards
 
+    use_fused_train = fused_render is not None and hasattr(fused_render, "train")
+
     def loss_fn(param_pair, batch: RayBatch, key):
         params, fine_params = param_pair
+        if use_fused_train:
+            from nerf_tpu.render.renderer import render_rays_train
+
+            return render_rays_train(
+                fused_render, params, batch.rays_o, batch.rays_d, key,
+                settings, batch.rgb,
+                fine_params=fine_params if fine_params else None,
+                viewdirs=batch.viewdirs,
+            )
         out = render_rays(
             apply_fn,
             params,

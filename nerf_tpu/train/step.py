@@ -15,7 +15,6 @@ which the coarse-only reference never reaches.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -91,6 +90,16 @@ def resolve_fused_render(model, settings: RenderSettings,
             jax.block_until_ready(
                 jax.jit(jax.grad(probe_loss)).lower(params).compile()(params)
             )
+            if hasattr(fr, "train"):
+                tgt = jnp.zeros((8, 3), jnp.float32)
+
+                def probe_train(p):
+                    return fr.train(p, ro, rd, rd, t, dl, tgt, True)[0]
+
+                jax.block_until_ready(
+                    jax.jit(jax.grad(probe_train)).lower(params)
+                    .compile()(params)
+                )
         return fr
     except Exception as e:  # pragma: no cover - backend-specific
         print(f"Fused render kernel unavailable ({type(e).__name__}); "

@@ -143,3 +143,68 @@ def test_hierarchical_train_step_runs(tiny_setup):
         )
     )
     assert changed  # fine model receives gradients
+
+
+def test_scan_chunked_steps_bit_identical(tiny_setup):
+    """N steps inside one lax.scan dispatch must equal N single-step calls
+    bit-for-bit (per-step randomness derives from state.step, so chunking
+    is purely a dispatch-amortization choice)."""
+    from nerf_tpu.train.step import make_scan_train_step
+
+    cfg, scene = tiny_setup
+    settings = render_settings_from_config(cfg)
+    model, tx, state0 = create_train_state(cfg, jax.random.key(cfg.seed))
+
+    one = make_train_step(
+        model, tx, settings, cfg.num_random_rays, jax.random.key(1),
+        use_pallas=False, donate=False,
+    )
+    five = make_scan_train_step(
+        model, tx, settings, cfg.num_random_rays, jax.random.key(1),
+        num_steps=5, use_pallas=False, donate=False,
+    )
+
+    s_a = state0
+    losses_a = []
+    for _ in range(5):
+        s_a, m = one(s_a, scene.pool)
+        losses_a.append(np.asarray(m["mse"]))
+    s_b, ms = five(state0, scene.pool)
+
+    np.testing.assert_array_equal(np.asarray(ms["mse"]), np.stack(losses_a))
+    for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(s_b.step) == 5
+
+
+def test_fit_with_odd_intervals(tmp_path):
+    """The event-aligned chunking must handle intervals that don't divide
+    each other (gcd chunking + tail) and still produce checkpoints."""
+    import os
+
+    from nerf_tpu.train.loop import fit
+
+    root = tmp_path / "scene"
+    make_synthetic_blender_scene(str(root), h=16, w=16, num_train=4)
+    cfg = Config(
+        dataset_path=str(root),
+        num_random_rays=64,
+        num_samples=4,
+        hidden_dim=32,
+        pos_encoding_dim=2,
+        dir_encoding_dim=1,
+        model_type="nerf",
+        use_pallas=False,
+        donate_state=False,
+        log_interval=3,
+        val_interval=7,
+        save_interval=5,
+        num_iters=17,
+        save_path=str(tmp_path / "models"),
+        log_dir=str(tmp_path / "logs"),
+    )
+    state = fit(cfg, max_steps=17, enable_tensorboard=False)
+    assert int(state.step) == 17
+    saved = os.listdir(tmp_path / "models")
+    assert any("nerf_model_000005" in s for s in saved)  # interval save
+    assert any("nerf_model_000017" in s for s in saved)  # final save
