@@ -31,19 +31,20 @@ import numpy as np
 
 
 def _build(batch_rays: int, num_samples: int, compute_dtype: str,
-           use_pallas: bool, steps_per_call: int):
+           use_pallas: bool, steps_per_call: int, model_type: str = "nerf"):
     import jax
     import jax.numpy as jnp
 
     from nerf_tpu.config import Config
-    from nerf_tpu.models import NeRFModel
+    from nerf_tpu.models import NeRFModel, SirenModel
     from nerf_tpu.render.renderer import RenderSettings
     from nerf_tpu.train.optim import make_optimizer
     from nerf_tpu.train.state import TrainState
     from nerf_tpu.train.step import make_scan_train_step, make_train_step
     from nerf_tpu.data.pipeline import RayPool
 
-    model = NeRFModel(compute_dtype=compute_dtype)
+    model_cls = SirenModel if model_type == "siren" else NeRFModel
+    model = model_cls(compute_dtype=compute_dtype)
     settings = RenderSettings(
         near=2.0, far=6.0, num_samples=num_samples, white_background=True,
         jitter_mode="per_ray",
@@ -104,14 +105,17 @@ def main() -> None:
     calls = int(os.environ.get("NERF_TPU_BENCH_ITERS", 10))
     scan = int(os.environ.get("NERF_TPU_BENCH_SCAN", 20))
     fast_dtype = os.environ.get("NERF_TPU_BENCH_DTYPE", "bfloat16")
+    model_type = os.environ.get("NERF_TPU_BENCH_MODEL", "nerf")
 
     # baseline: pure-JAX float32, one dispatch per step (reference loop shape)
-    step_fn, state, pool = _build(batch_rays, num_samples, "float32", False, 1)
+    step_fn, state, pool = _build(batch_rays, num_samples, "float32", False, 1,
+                                  model_type)
     base_rps, _ = _measure(step_fn, state, pool, batch_rays,
                            calls * min(scan, 4), 1, warmup=3)
 
     # fast path: scan-chunked dispatch + fused Pallas kernel + bf16 matmuls
-    step_fn, state, pool = _build(batch_rays, num_samples, fast_dtype, True, scan)
+    step_fn, state, pool = _build(batch_rays, num_samples, fast_dtype, True,
+                                  scan, model_type)
     fast_rps, _ = _measure(step_fn, state, pool, batch_rays, calls, scan, warmup=2)
 
     value = max(fast_rps, base_rps)

@@ -240,3 +240,17 @@ def test_fused_train_path_matches_pure_loss(model_kind, fine):
         np.testing.assert_allclose(
             np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-4
         )
+
+
+@pytest.mark.parametrize("num_samples", [8, 24, 33, 60])
+def test_fused_render_odd_sample_counts(num_samples):
+    """Roll-scan cumprod, segment masks and tile picking must handle
+    non-power-of-two and odd sample counts."""
+    model, params, rays_o, rays_d, t = _setup(num_rays=5,
+                                              num_samples=num_samples)
+    fr = make_fused_nerf_render(model, NEAR, FAR, normalize=True,
+                                interpret=True)
+    out_p = _pure(model, params, rays_o, rays_d, t)
+    out_f = fr(params, rays_o, rays_d, rays_d, t, deltas_from_t(t))
+    np.testing.assert_allclose(out_f["rgb"], out_p.rgb, atol=2e-5)
+    np.testing.assert_allclose(out_f["weights"], out_p.weights, atol=2e-5)
