@@ -20,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from nerf_tpu.data.pipeline import RayPool
 from nerf_tpu.render.renderer import RenderSettings, render_rays
 from nerf_tpu.train.state import TrainState
-from nerf_tpu.train.step import resolve_apply_fn
+from nerf_tpu.train.step import resolve_apply_fn, resolve_fused_render
 
 
 def stack_scenes(per_scene_pytrees):
@@ -47,13 +47,27 @@ def make_multiscene_train_step(
     ``pools`` is a RayPool with leaves (S, M, 3). Metrics are per-scene
     vectors of shape (S,).
     """
-    apply_fn = resolve_apply_fn(model, use_pallas)
+    # The fused render/train kernels vmap over the scene axis (pallas_call
+    # has a batching rule), so multi-scene gets the same single-kernel path.
+    fused_render = resolve_fused_render(model, settings, use_pallas)
+    apply_fn = (model.apply if fused_render is not None
+                else resolve_apply_fn(model, use_pallas))
+    use_fused_train = fused_render is not None and hasattr(fused_render, "train")
     param_sharding = NamedSharding(mesh, P(scene_axis))
     pool_sharding = NamedSharding(mesh, P(scene_axis, data_axis))
 
     def scene_loss(params, fine_params, pool: RayPool, key):
         k_sample, k_render = jax.random.split(key)
         batch = pool.sample(k_sample, batch_size_per_scene)
+        if use_fused_train:
+            from nerf_tpu.render.renderer import render_rays_train
+
+            return render_rays_train(
+                fused_render, params, batch.rays_o, batch.rays_d, k_render,
+                settings, batch.rgb,
+                fine_params=fine_params if fine_params else None,
+                viewdirs=batch.viewdirs,
+            )
         out = render_rays(
             apply_fn,
             params,
