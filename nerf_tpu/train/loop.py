@@ -36,7 +36,12 @@ from nerf_tpu.train.step import (
     resolve_apply_fn,
     resolve_fused_render,
 )
-from nerf_tpu.utils.checkpoint import load_checkpoint, read_metadata, save_checkpoint
+from nerf_tpu.utils.checkpoint import (
+    AsyncCheckpointSaver,
+    load_checkpoint,
+    read_metadata,
+    save_checkpoint,
+)
 from nerf_tpu.utils.logging import MetricLogger
 from nerf_tpu.utils.metrics import mse_to_psnr
 from nerf_tpu.utils.timer import format_elapsed_time
@@ -194,6 +199,7 @@ def fit(
     )
 
     os.makedirs(cfg.save_path, exist_ok=True)
+    saver = AsyncCheckpointSaver()  # interval saves overlap with training
     logger = MetricLogger(
         log_dir=cfg.log_dir,
         model_type=cfg.model_type,
@@ -275,7 +281,7 @@ def fit(
                     )
 
                 if step % cfg.save_interval == 0 and 0 < step < num_iters - 1:
-                    path = save_checkpoint(state, cfg.save_path, cfg.model_type, step)
+                    path = saver.save(state, cfg.save_path, cfg.model_type, step)
                     tqdm.write(
                         f"[{format_elapsed_time(start_time)}] Model saved to "
                         f"{path} at iteration {step}"
@@ -287,6 +293,7 @@ def fit(
                 pos += c
                 pbar.update(c)
 
+        saver.wait()  # durability before the final (blocking) save
         final = save_checkpoint(state, cfg.save_path, cfg.model_type, num_iters)
         elapsed = format_elapsed_time(start_time)
         tqdm.write(f"[{elapsed}] Training complete!")
@@ -294,9 +301,11 @@ def fit(
     except KeyboardInterrupt:
         elapsed = format_elapsed_time(start_time)
         print(f"\n[{elapsed}] Keyboard interrupt! Saving current checkpoint...")
+        saver.wait()
         path = save_checkpoint(state, cfg.save_path, cfg.model_type, step)
         print(f"[{elapsed}] Checkpoint saved to {path}. Exiting training.")
     finally:
+        saver.close()
         logger.close()
 
     return state

@@ -37,15 +37,56 @@ def save_checkpoint(
     path = _state_dir(save_path, model_type, step)
     with ocp.StandardCheckpointer() as cp:
         cp.save(path, jax.tree.map(lambda x: x, state), force=True)
-    meta = {"step": int(step), "model_type": model_type}
-    with open(os.path.join(path, "nerf_tpu_meta.json"), "w") as f:
-        json.dump(meta, f)
+    _write_meta(path, model_type, step)
     return path
 
 
 def read_metadata(path: str) -> dict:
-    with open(os.path.join(os.path.abspath(path), "nerf_tpu_meta.json"), "r") as f:
-        return json.load(f)
+    path = os.path.abspath(path)
+    # async saves put the meta NEXT to the dir (the dir itself only appears
+    # when Orbax commits); sync saves historically put it inside.
+    for p in (path + ".meta.json", os.path.join(path, "nerf_tpu_meta.json")):
+        if os.path.exists(p):
+            with open(p, "r") as f:
+                return json.load(f)
+    raise FileNotFoundError(f"no checkpoint metadata for {path}")
+
+
+def _write_meta(path: str, model_type: str, step: int) -> None:
+    with open(path + ".meta.json", "w") as f:
+        json.dump({"step": int(step), "model_type": model_type}, f)
+
+
+class AsyncCheckpointSaver:
+    """Background checkpointing: ``save`` dispatches the device->host copy
+    and returns; serialization and the atomic directory commit happen on
+    Orbax's background thread while training continues (the reference blocks
+    the loop on ``torch.save``, utils.py:50-63). Call ``wait`` before
+    process exit (final/SIGINT saves) to guarantee durability.
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._cp = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, state: Any, save_path: str, model_type: str, step: int) -> str:
+        import orbax.checkpoint as ocp
+
+        path = _state_dir(save_path, model_type, step)
+        # a second save while one is in flight waits for the first commit
+        self._cp.save(
+            path, args=ocp.args.StandardSave(jax.tree.map(lambda x: x, state)),
+            force=True,
+        )
+        _write_meta(path, model_type, step)
+        return path
+
+    def wait(self) -> None:
+        self._cp.wait_until_finished()
+
+    def close(self) -> None:
+        self._cp.close()
 
 
 def load_checkpoint(path: str, template: Any) -> Any:
