@@ -121,6 +121,29 @@ def _seg_rev_excl_cumsum_col(col, s: int):
     return jnp.where(pos == s - 1, 0.0, pltpu.roll(v, tb - 1, 0))
 
 
+def _point_cols_from_t(t_tile, s: int, inf_delta: float = 1e10):
+    """(TR, S) ray-major t block -> per-point (TB,1) t and delta columns.
+
+    Feeding t/deltas as (N,1) HBM columns costs XLA a lane->sublane relayout
+    (~1.2 ms per 6 MB chunk measured on v5e — 11% of a 400x400 render); the
+    in-kernel expand+select is a few VPU ops per element. Deltas are
+    t[i+1]-t[i] with the reference's 1e10 tail (rendering.py:54-57)."""
+    tr, s_ = t_tile.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tr, s), 1)
+    rolled = pltpu.roll(t_tile, s - 1, 1)          # t[i+1] at lane i
+    d_tile = jnp.where(lane == s - 1, inf_delta, rolled - t_tile)
+
+    srow = jax.lax.broadcasted_iota(jnp.int32, (tr * s, s), 0) % s
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (tr * s, s), 1)
+    sel = lane2 == srow
+
+    def to_col(mat):
+        return jnp.sum(jnp.where(sel, _rep(mat, s), 0.0), axis=1,
+                       keepdims=True)
+
+    return to_col(t_tile), to_col(d_tile)
+
+
 def _field_tile(oE, oS, dE, dS, denc_r, t, s, w, enc_p_phase, enc_p_mask, cdt):
     """Per-sample encodings from per-ray matrices, then the MLP chain."""
     from nerf_tpu.ops.pallas.fused_nerf import _trig
@@ -176,13 +199,13 @@ def _unslot_rays(x, tr: int, slot: int):
 
 
 def _fwd_kernel(*refs, cdt, s, tr, slot):
-    (oE_r, oS_r, dE_r, dS_r, denc_r, t_r, d_r), refs = refs[:7], refs[7:]
+    (oE_r, oS_r, dE_r, dS_r, denc_r, t_r), refs = refs[:6], refs[6:]
     (pphase_r, pmask_r), refs = refs[:2], refs[2:]
     w_refs, (out_ref, wcol_ref) = refs[:-2], refs[-2:]
     w = {k: v[:] for k, v in zip(_WEIGHT_NAMES, w_refs)}
     tb = tr * s
     g8 = _onehot_rows(tb, tr, s)
-    t, delta = t_r[:], d_r[:]
+    t, delta = _point_cols_from_t(t_r[:][:tr], s)
     acts, sigma = _field_tile(
         oE_r[:][:tr], oS_r[:][:tr], dE_r[:][:tr], dS_r[:][:tr],
         denc_r[:][:tr], t, s, w, pphase_r[:], pmask_r[:], cdt,
@@ -195,7 +218,7 @@ def _fwd_kernel(*refs, cdt, s, tr, slot):
 
 
 def _bwd_kernel(*refs, cdt, s, tr, slot, num_w):
-    (oE_r, oS_r, dE_r, dS_r, denc_r, t_r, d_r, g_ref), refs = refs[:8], refs[8:]
+    (oE_r, oS_r, dE_r, dS_r, denc_r, t_r, g_ref), refs = refs[:7], refs[7:]
     (pphase_r, pmask_r), refs = refs[:2], refs[2:]
     w_refs = refs[:num_w]
     acc_refs = dict(zip(_WEIGHT_NAMES, refs[num_w:]))
@@ -208,7 +231,7 @@ def _bwd_kernel(*refs, cdt, s, tr, slot, num_w):
 
     tb = tr * s
     g8 = _onehot_rows(tb, tr, s)
-    t, delta = t_r[:], d_r[:]
+    t, delta = _point_cols_from_t(t_r[:][:tr], s)
     acts, sigma = _field_tile(
         oE_r[:][:tr], oS_r[:][:tr], dE_r[:][:tr], dS_r[:][:tr],
         denc_r[:][:tr], t, s, w, pphase_r[:], pmask_r[:], cdt,
@@ -271,7 +294,7 @@ def _train_kernel(*refs, cdt, s, tr, slot, num_w, white_bg, scale, num_valid):
     """One pass over a ray tile: forward + MSE loss + full backward, with
     every activation staying in VMEM (no recompute — the backward-kernel
     route pays the forward twice)."""
-    (oE_r, oS_r, dE_r, dS_r, denc_r, t_r, d_r, tgt_r), refs = refs[:8], refs[8:]
+    (oE_r, oS_r, dE_r, dS_r, denc_r, t_r, tgt_r), refs = refs[:7], refs[7:]
     (pphase_r, pmask_r), refs = refs[:2], refs[2:]
     w_refs = refs[:num_w]
     loss_ref, out_ref, wcol_ref = refs[num_w], refs[num_w + 1], refs[num_w + 2]
@@ -286,7 +309,7 @@ def _train_kernel(*refs, cdt, s, tr, slot, num_w, white_bg, scale, num_valid):
 
     tb = tr * s
     g8 = _onehot_rows(tb, tr, s)
-    t, delta = t_r[:], d_r[:]
+    t, delta = _point_cols_from_t(t_r[:][:tr], s)
     acts, sigma = _field_tile(
         oE_r[:][:tr], oS_r[:][:tr], dE_r[:][:tr], dS_r[:][:tr],
         denc_r[:][:tr], t, s, w, pphase_r[:], pmask_r[:], cdt,
@@ -334,14 +357,19 @@ def _build_fused_render(h, p_pad, d_pad, s, tr_fwd, tr_bwd, cdt, interpret):
     mm_cols = (p_pad * h + 4 * h * h) + ((h + p_pad) * h + 3 * h * h) \
         + (h * h + h) + ((h + d_pad) * (h // 2) + (h // 2) * 8)
 
+    def t_spec(slot):
+        return pl.BlockSpec((slot, s), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
     def run_fwd(wc, prep, pphase, pmask):
-        oE, oS, dE, dS, denc, t_col, d_col = prep
-        n = t_col.shape[0]
+        oE, oS, dE, dS, denc, t2d = prep
+        n = t2d.shape[0] * s
         tb = tr_fwd * s
         grid = (n // tb,)
         n_tiles = n // tb
-        oE, oS, dE, dS, denc = (
-            _slot_rays(x, tr_fwd, slot_fwd) for x in (oE, oS, dE, dS, denc)
+        oE, oS, dE, dS, denc, t2d = (
+            _slot_rays(x, tr_fwd, slot_fwd)
+            for x in (oE, oS, dE, dS, denc, t2d)
         )
         enc_specs = [
             pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -354,7 +382,7 @@ def _build_fused_render(h, p_pad, d_pad, s, tr_fwd, tr_bwd, cdt, interpret):
                               slot=slot_fwd),
             grid=grid,
             in_specs=_ray_specs(slot_fwd, p_pad, d_pad)
-            + [_col_spec(tb), _col_spec(tb)]
+            + [t_spec(slot_fwd)]
             + enc_specs + _weight_specs(wc),
             out_specs=[out_spec, _col_spec(tb)],
             out_shape=[
@@ -370,17 +398,18 @@ def _build_fused_render(h, p_pad, d_pad, s, tr_fwd, tr_bwd, cdt, interpret):
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(oE, oS, dE, dS, denc, t_col, d_col, pphase, pmask,
+        )(oE, oS, dE, dS, denc, t2d, pphase, pmask,
           *(wc[k] for k in _WEIGHT_NAMES))
         return _unslot_rays(ray_out, tr_fwd, slot_fwd), w_col
 
     def run_bwd(wc, prep, pphase, pmask, g_ray):
-        oE, oS, dE, dS, denc, t_col, d_col = prep
-        n = t_col.shape[0]
+        oE, oS, dE, dS, denc, t2d = prep
+        n = t2d.shape[0] * s
         tb = tr_bwd * s
         grid = (n // tb,)
-        oE, oS, dE, dS, denc = (
-            _slot_rays(x, tr_bwd, slot_bwd) for x in (oE, oS, dE, dS, denc)
+        oE, oS, dE, dS, denc, t2d = (
+            _slot_rays(x, tr_bwd, slot_bwd)
+            for x in (oE, oS, dE, dS, denc, t2d)
         )
         g_ray = _slot_rays(g_ray, tr_bwd, slot_bwd)
         enc_specs = [
@@ -403,7 +432,7 @@ def _build_fused_render(h, p_pad, d_pad, s, tr_fwd, tr_bwd, cdt, interpret):
                               slot=slot_bwd, num_w=num_w),
             grid=grid,
             in_specs=_ray_specs(slot_bwd, p_pad, d_pad)
-            + [_col_spec(tb), _col_spec(tb), g_spec]
+            + [t_spec(slot_bwd), g_spec]
             + enc_specs + _weight_specs(wc),
             out_specs=acc_specs,
             out_shape=acc_shapes,
@@ -416,7 +445,7 @@ def _build_fused_render(h, p_pad, d_pad, s, tr_fwd, tr_bwd, cdt, interpret):
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(oE, oS, dE, dS, denc, t_col, d_col, g_ray, pphase, pmask,
+        )(oE, oS, dE, dS, denc, t2d, g_ray, pphase, pmask,
           *(wc[k] for k in _WEIGHT_NAMES))
         return dict(zip(_WEIGHT_NAMES, outs))
 
@@ -457,13 +486,18 @@ def _build_fused_train(h, p_pad, d_pad, s, tr, cdt, white_bg, scale,
     mm_cols = (p_pad * h + 4 * h * h) + ((h + p_pad) * h + 3 * h * h) \
         + (h * h + h) + ((h + d_pad) * (h // 2) + (h // 2) * 8)
 
+    def t_spec(slot_):
+        return pl.BlockSpec((slot_, s), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
     def run_train(wc, prep, target8, pphase, pmask):
-        oE, oS, dE, dS, denc, t_col, d_col = prep
-        n = t_col.shape[0]
+        oE, oS, dE, dS, denc, t2d = prep
+        n = t2d.shape[0] * s
         tb = tr * s
         n_tiles = n // tb
-        oE, oS, dE, dS, denc, target8 = (
-            _slot_rays(x, tr, slot) for x in (oE, oS, dE, dS, denc, target8)
+        oE, oS, dE, dS, denc, t2d, target8 = (
+            _slot_rays(x, tr, slot)
+            for x in (oE, oS, dE, dS, denc, t2d, target8)
         )
         enc_specs = [
             pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -488,7 +522,7 @@ def _build_fused_train(h, p_pad, d_pad, s, tr, cdt, white_bg, scale,
                               num_valid=num_valid),
             grid=(n_tiles,),
             in_specs=_ray_specs(slot, p_pad, d_pad)
-            + [_col_spec(tb), _col_spec(tb), row8]
+            + [t_spec(slot), row8]
             + enc_specs + _weight_specs(wc),
             out_specs=[loss_spec, row8, _col_spec(tb)] + acc_specs,
             out_shape=[
@@ -506,7 +540,7 @@ def _build_fused_train(h, p_pad, d_pad, s, tr, cdt, white_bg, scale,
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(oE, oS, dE, dS, denc, t_col, d_col, target8, pphase, pmask,
+        )(oE, oS, dE, dS, denc, t2d, target8, pphase, pmask,
           *(wc[k] for k in _WEIGHT_NAMES))
         loss = outs[0][0, 0]
         ray_out = _unslot_rays(outs[1], tr, slot)
@@ -613,7 +647,7 @@ class FusedNerfRender:
             )
         return self._cache[s]
 
-    def _prep(self, rays_o, rays_d, viewdirs, t, deltas):
+    def _prep(self, rays_o, rays_d, viewdirs, t):
         """Per-ray encode matrices + t/delta columns (all O(rays) work)."""
         if self.normalize:
             a = 2.0 / (self.far - self.near)
@@ -631,11 +665,9 @@ class FusedNerfRender:
         denc = dot(viewdirs, self._Ed) + self._mask_d * jnp.sin(
             dot(viewdirs, self._Sd) + self._phase_d
         )
-        n = t.shape[0] * t.shape[1]
-        return (oE, oS, dE, dS, denc,
-                t.reshape(n, 1), deltas.reshape(n, 1))
+        return (oE, oS, dE, dS, denc, t)
 
-    def __call__(self, params, rays_o, rays_d, viewdirs, t, deltas):
+    def __call__(self, params, rays_o, rays_d, viewdirs, t):
         num_rays, s = t.shape
         fused, tr_fwd = self._get(s)
         r_pad = _round_up(max(num_rays, tr_fwd), tr_fwd)
@@ -645,8 +677,7 @@ class FusedNerfRender:
             rays_d = jnp.pad(rays_d, ((0, pad), (0, 0)))
             viewdirs = jnp.pad(viewdirs, ((0, pad), (0, 0)))
             t = jnp.pad(t, ((0, pad), (0, 0)))
-            deltas = jnp.pad(deltas, ((0, pad), (0, 0)))
-        prep = self._prep(rays_o, rays_d, viewdirs, t, deltas)
+        prep = self._prep(rays_o, rays_d, viewdirs, t)
         packed = pack_params(params, self.p_pad, self.d_pad)
         ray_out, w_col = fused(packed, prep, self._phase_p, self._mask_p)
         ray_out = ray_out[:num_rays]
@@ -679,7 +710,7 @@ class FusedNerfRender:
             )
         return self._cache[key]
 
-    def train(self, params, rays_o, rays_d, viewdirs, t, deltas, target,
+    def train(self, params, rays_o, rays_d, viewdirs, t, target,
               white_bg: bool):
         """One fused train pass: returns (mse_loss, aux) where aux carries
         ``rgb``/``acc``/``weights`` as stop-gradient byproducts.
@@ -698,9 +729,8 @@ class FusedNerfRender:
             rays_d = jnp.pad(rays_d, ((0, pad), (0, 0)))
             viewdirs = jnp.pad(viewdirs, ((0, pad), (0, 0)))
             t = jnp.pad(t, ((0, pad), (0, 0)))
-            deltas = jnp.pad(deltas, ((0, pad), (0, 0)))
         target8 = jnp.pad(target, ((0, r_pad - num_rays), (0, 5)))
-        prep = self._prep(rays_o, rays_d, viewdirs, t, deltas)
+        prep = self._prep(rays_o, rays_d, viewdirs, t)
         packed = pack_params(params, self.p_pad, self.d_pad)
         loss, ray_out, w_col = fused_train(
             packed, prep, target8, self._phase_p, self._mask_p

@@ -33,6 +33,7 @@ from nerf_tpu.ops.pallas.fused_render import (
     _composite_tile,
     _mse_cotangent,
     _onehot_rows,
+    _point_cols_from_t,
     _rep,
     _slot_rays,
     _unslot_rays,
@@ -55,12 +56,12 @@ def _field_tile(o8, d8, denc_r, t, s, w, w0s, sigma_mul, rgb_mul, cdt):
 
 
 def _fwd_kernel(*refs, cdt, s, tr, slot, w0s, sigma_mul, rgb_mul):
-    (o8_r, d8_r, denc_r, t_r, dl_r), refs = refs[:5], refs[5:]
+    (o8_r, d8_r, denc_r, t_r), refs = refs[:4], refs[4:]
     w_refs, (out_ref, wcol_ref) = refs[:-2], refs[-2:]
     w = {k: v[:] for k, v in zip(_WEIGHT_NAMES, w_refs)}
     tb = tr * s
     g8 = _onehot_rows(tb, tr, s)
-    t, delta = t_r[:], dl_r[:]
+    t, delta = _point_cols_from_t(t_r[:][:tr], s)
     (acts, sigma), _ = _field_tile(
         o8_r[:][:tr], d8_r[:][:tr], denc_r[:][:tr], t, s, w,
         w0s, sigma_mul, rgb_mul, cdt,
@@ -73,7 +74,7 @@ def _fwd_kernel(*refs, cdt, s, tr, slot, w0s, sigma_mul, rgb_mul):
 
 
 def _bwd_kernel(*refs, cdt, s, tr, slot, num_w, w0s, sigma_mul, rgb_mul):
-    (o8_r, d8_r, denc_r, t_r, dl_r, g_ref), refs = refs[:6], refs[6:]
+    (o8_r, d8_r, denc_r, t_r, g_ref), refs = refs[:5], refs[5:]
     w_refs = refs[:num_w]
     acc_refs = dict(zip(_WEIGHT_NAMES, refs[num_w:]))
     w = {k: v[:] for k, v in zip(_WEIGHT_NAMES, w_refs)}
@@ -85,7 +86,7 @@ def _bwd_kernel(*refs, cdt, s, tr, slot, num_w, w0s, sigma_mul, rgb_mul):
 
     tb = tr * s
     g8 = _onehot_rows(tb, tr, s)
-    t, delta = t_r[:], dl_r[:]
+    t, delta = _point_cols_from_t(t_r[:][:tr], s)
     (acts, sigma), pts8 = _field_tile(
         o8_r[:][:tr], d8_r[:][:tr], denc_r[:][:tr], t, s, w,
         w0s, sigma_mul, rgb_mul, cdt,
@@ -104,7 +105,7 @@ def _train_kernel(*refs, cdt, s, tr, slot, num_w, w0s, sigma_mul, rgb_mul,
                   white_bg, scale, num_valid):
     """Single-kernel SIREN train pass: forward + MSE + backward (see the
     NeRF counterpart in fused_render._train_kernel)."""
-    (o8_r, d8_r, denc_r, t_r, dl_r, tgt_r), refs = refs[:6], refs[6:]
+    (o8_r, d8_r, denc_r, t_r, tgt_r), refs = refs[:5], refs[5:]
     w_refs = refs[:num_w]
     loss_ref, out_ref, wcol_ref = refs[num_w], refs[num_w + 1], refs[num_w + 2]
     acc_refs = dict(zip(_WEIGHT_NAMES, refs[num_w + 3:]))
@@ -118,7 +119,7 @@ def _train_kernel(*refs, cdt, s, tr, slot, num_w, w0s, sigma_mul, rgb_mul,
 
     tb = tr * s
     g8 = _onehot_rows(tb, tr, s)
-    t, delta = t_r[:], dl_r[:]
+    t, delta = _point_cols_from_t(t_r[:][:tr], s)
     (acts, sigma), pts8 = _field_tile(
         o8_r[:][:tr], d8_r[:][:tr], denc_r[:][:tr], t, s, w,
         w0s, sigma_mul, rgb_mul, cdt,
@@ -171,13 +172,17 @@ def _build(h, d_pad, s, tr_fwd, tr_bwd, cdt, w0s, sigma_mul, rgb_mul,
             for n in _WEIGHT_NAMES
         ]
 
+    def t_spec(slot_):
+        return pl.BlockSpec((slot_, s), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
     def run_fwd(wc, prep):
-        o8, d8, denc, t_col, d_col = prep
-        n = t_col.shape[0]
+        o8, d8, denc, t2d = prep
+        n = t2d.shape[0] * s
         tb = tr_fwd * s
         n_tiles = n // tb
-        o8, d8, denc = (
-            _slot_rays(x, tr_fwd, slot_fwd) for x in (o8, d8, denc)
+        o8, d8, denc, t2d = (
+            _slot_rays(x, tr_fwd, slot_fwd) for x in (o8, d8, denc, t2d)
         )
         out_spec = pl.BlockSpec((slot_fwd, 8), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
@@ -186,7 +191,7 @@ def _build(h, d_pad, s, tr_fwd, tr_bwd, cdt, w0s, sigma_mul, rgb_mul,
                               **kern_args),
             grid=(n_tiles,),
             in_specs=_ray_specs(slot_fwd, d_pad)
-            + [_col_spec(tb), _col_spec(tb)] + weight_specs(wc),
+            + [t_spec(slot_fwd)] + weight_specs(wc),
             out_specs=[out_spec, _col_spec(tb)],
             out_shape=[
                 jax.ShapeDtypeStruct((n_tiles * slot_fwd, 8), jnp.float32),
@@ -201,15 +206,15 @@ def _build(h, d_pad, s, tr_fwd, tr_bwd, cdt, w0s, sigma_mul, rgb_mul,
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(o8, d8, denc, t_col, d_col, *(wc[k] for k in _WEIGHT_NAMES))
+        )(o8, d8, denc, t2d, *(wc[k] for k in _WEIGHT_NAMES))
         return _unslot_rays(ray_out, tr_fwd, slot_fwd), w_col
 
     def run_bwd(wc, prep, g_ray):
-        o8, d8, denc, t_col, d_col = prep
-        n = t_col.shape[0]
+        o8, d8, denc, t2d = prep
+        n = t2d.shape[0] * s
         tb = tr_bwd * s
-        o8, d8, denc = (
-            _slot_rays(x, tr_bwd, slot_bwd) for x in (o8, d8, denc)
+        o8, d8, denc, t2d = (
+            _slot_rays(x, tr_bwd, slot_bwd) for x in (o8, d8, denc, t2d)
         )
         g_ray = _slot_rays(g_ray, tr_bwd, slot_bwd)
         g_spec = pl.BlockSpec((slot_bwd, 8), lambda i: (i, 0),
@@ -228,7 +233,7 @@ def _build(h, d_pad, s, tr_fwd, tr_bwd, cdt, w0s, sigma_mul, rgb_mul,
                               num_w=num_w, **kern_args),
             grid=(n // tb,),
             in_specs=_ray_specs(slot_bwd, d_pad)
-            + [_col_spec(tb), _col_spec(tb), g_spec] + weight_specs(wc),
+            + [t_spec(slot_bwd), g_spec] + weight_specs(wc),
             out_specs=acc_specs,
             out_shape=acc_shapes,
             cost_estimate=pl.CostEstimate(
@@ -240,7 +245,7 @@ def _build(h, d_pad, s, tr_fwd, tr_bwd, cdt, w0s, sigma_mul, rgb_mul,
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(o8, d8, denc, t_col, d_col, g_ray, *(wc[k] for k in _WEIGHT_NAMES))
+        )(o8, d8, denc, t2d, g_ray, *(wc[k] for k in _WEIGHT_NAMES))
         return dict(zip(_WEIGHT_NAMES, outs))
 
     @jax.custom_vjp
@@ -277,13 +282,17 @@ def _build_train(h, d_pad, s, tr, cdt, w0s, sigma_mul, rgb_mul, white_bg,
             for n in _WEIGHT_NAMES
         ]
 
+    def t_spec(slot_):
+        return pl.BlockSpec((slot_, s), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
     def run_train(wc, prep, target8):
-        o8, d8, denc, t_col, d_col = prep
-        n = t_col.shape[0]
+        o8, d8, denc, t2d = prep
+        n = t2d.shape[0] * s
         tb = tr * s
         n_tiles = n // tb
-        o8, d8, denc, target8 = (
-            _slot_rays(x, tr, slot) for x in (o8, d8, denc, target8)
+        o8, d8, denc, t2d, target8 = (
+            _slot_rays(x, tr, slot) for x in (o8, d8, denc, t2d, target8)
         )
         row8 = pl.BlockSpec((slot, 8), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -304,7 +313,7 @@ def _build_train(h, d_pad, s, tr, cdt, w0s, sigma_mul, rgb_mul, white_bg,
                               num_valid=num_valid, **kern_args),
             grid=(n_tiles,),
             in_specs=_ray_specs(slot, d_pad)
-            + [_col_spec(tb), _col_spec(tb), row8] + weight_specs(wc),
+            + [t_spec(slot), row8] + weight_specs(wc),
             out_specs=[loss_spec, row8, _col_spec(tb)] + acc_specs,
             out_shape=[
                 jax.ShapeDtypeStruct((1, 8), jnp.float32),
@@ -321,7 +330,7 @@ def _build_train(h, d_pad, s, tr, cdt, w0s, sigma_mul, rgb_mul, white_bg,
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(o8, d8, denc, t_col, d_col, target8,
+        )(o8, d8, denc, t2d, target8,
           *(wc[k] for k in _WEIGHT_NAMES))
         loss = outs[0][0, 0]
         ray_out = _unslot_rays(outs[1], tr, slot)
@@ -409,7 +418,7 @@ class FusedSirenRender:
             )
         return self._cache[s]
 
-    def _prep(self, rays_o, rays_d, viewdirs, t, deltas):
+    def _prep(self, rays_o, rays_d, viewdirs, t):
         if self.normalize:
             a = 2.0 / (self.far - self.near)
             b = -2.0 * self.near / (self.far - self.near) - 1.0
@@ -424,10 +433,9 @@ class FusedSirenRender:
         denc = dot(viewdirs, self._Ed) + self._mask_d * jnp.sin(
             dot(viewdirs, self._Sd) + self._phase_d
         )
-        n = t.shape[0] * t.shape[1]
-        return (o8, d8, denc, t.reshape(n, 1), deltas.reshape(n, 1))
+        return (o8, d8, denc, t)
 
-    def __call__(self, params, rays_o, rays_d, viewdirs, t, deltas):
+    def __call__(self, params, rays_o, rays_d, viewdirs, t):
         num_rays, s = t.shape
         fused, tr_fwd = self._get(s)
         r_pad = _round_up(max(num_rays, tr_fwd), tr_fwd)
@@ -437,8 +445,7 @@ class FusedSirenRender:
             rays_d = jnp.pad(rays_d, ((0, pad), (0, 0)))
             viewdirs = jnp.pad(viewdirs, ((0, pad), (0, 0)))
             t = jnp.pad(t, ((0, pad), (0, 0)))
-            deltas = jnp.pad(deltas, ((0, pad), (0, 0)))
-        prep = self._prep(rays_o, rays_d, viewdirs, t, deltas)
+        prep = self._prep(rays_o, rays_d, viewdirs, t)
         packed = pack_params(params, self.d_pad, self.h)
         ray_out, w_col = fused(packed, prep)
         ray_out = ray_out[:num_rays]
@@ -471,7 +478,7 @@ class FusedSirenRender:
             )
         return self._cache[key]
 
-    def train(self, params, rays_o, rays_d, viewdirs, t, deltas, target,
+    def train(self, params, rays_o, rays_d, viewdirs, t, target,
               white_bg: bool):
         """Single-kernel train pass; same contract as FusedNerfRender.train."""
         num_rays, s = t.shape
@@ -483,9 +490,8 @@ class FusedSirenRender:
             rays_d = jnp.pad(rays_d, ((0, pad), (0, 0)))
             viewdirs = jnp.pad(viewdirs, ((0, pad), (0, 0)))
             t = jnp.pad(t, ((0, pad), (0, 0)))
-            deltas = jnp.pad(deltas, ((0, pad), (0, 0)))
         target8 = jnp.pad(target, ((0, r_pad - num_rays), (0, 5)))
-        prep = self._prep(rays_o, rays_d, viewdirs, t, deltas)
+        prep = self._prep(rays_o, rays_d, viewdirs, t)
         packed = pack_params(params, self.d_pad, self.h)
         loss, ray_out, w_col = fused_train(packed, prep, target8)
         ray_out = jax.lax.stop_gradient(ray_out[:num_rays])

@@ -94,11 +94,10 @@ def _render_pass(
     fused_render=None,
 ):
     if fused_render is not None:
-        # Fully fused path: sampling positions, encoding, MLP and
+        # Fully fused path: sampling positions, encoding, MLP, deltas and
         # compositing all happen inside one Pallas kernel (fused_render.py);
         # only white background + disparity remain here (O(rays) ops).
-        deltas = deltas_from_t(t)
-        out = fused_render(params, rays_o, rays_d, viewdirs, t, deltas)
+        out = fused_render(params, rays_o, rays_d, viewdirs, t)
         rgb, acc, depth = out["rgb"], out["acc"], out["depth"]
         if settings.white_background:
             rgb = rgb + (1.0 - acc[..., None])
@@ -237,7 +236,7 @@ def render_rays_train(
         perturb=settings.perturb,
     )
     loss_c, aux_c = fused_render.train(
-        params, rays_o, rays_d, viewdirs, t, deltas_from_t(t), target,
+        params, rays_o, rays_d, viewdirs, t, target,
         settings.white_background,
     )
     if settings.num_fine_samples <= 0:
@@ -252,7 +251,7 @@ def render_rays_train(
     t_all = merge_samples(t, jax.lax.stop_gradient(t_fine))
     loss_f, _ = fused_render.train(
         fine_params if fine_params is not None else params,
-        rays_o, rays_d, viewdirs, t_all, deltas_from_t(t_all), target,
+        rays_o, rays_d, viewdirs, t_all, target,
         settings.white_background,
     )
     return loss_f + loss_c, loss_f

@@ -81,10 +81,9 @@ def resolve_fused_render(model, settings: RenderSettings,
             ro = jnp.zeros((8, 3), jnp.float32)
             rd = jnp.ones((8, 3), jnp.float32)
             t = jnp.linspace(0.1, 1.0, 8)[None, :].repeat(8, 0)
-            dl = jnp.ones_like(t)
 
             def probe_loss(p):
-                out = fr(p, ro, rd, rd, t, dl)
+                out = fr(p, ro, rd, rd, t)
                 return jnp.sum(out["rgb"]) + jnp.sum(out["acc"])
 
             jax.block_until_ready(
@@ -94,7 +93,7 @@ def resolve_fused_render(model, settings: RenderSettings,
                 tgt = jnp.zeros((8, 3), jnp.float32)
 
                 def probe_train(p):
-                    return fr.train(p, ro, rd, rd, t, dl, tgt, True)[0]
+                    return fr.train(p, ro, rd, rd, t, tgt, True)[0]
 
                 jax.block_until_ready(
                     jax.jit(jax.grad(probe_train)).lower(params)

@@ -55,7 +55,7 @@ def test_fused_render_forward_matches_pure():
                                 interpret=True)
     assert fr is not None
     out_p = _pure(model, params, rays_o, rays_d, t)
-    out_f = fr(params, rays_o, rays_d, rays_d, t, deltas_from_t(t))
+    out_f = fr(params, rays_o, rays_d, rays_d, t)
     np.testing.assert_allclose(out_f["rgb"], out_p.rgb, atol=1e-5)
     np.testing.assert_allclose(out_f["acc"], out_p.acc, atol=1e-5)
     np.testing.assert_allclose(out_f["depth"], out_p.depth, atol=1e-4)
@@ -75,7 +75,7 @@ def test_fused_render_param_grads_match_pure():
         return jnp.mean((rgb - target) ** 2)
 
     def loss_fused(p):
-        out = fr(p, rays_o, rays_d, rays_d, t, deltas_from_t(t))
+        out = fr(p, rays_o, rays_d, rays_d, t)
         rgb = out["rgb"] + (1.0 - out["acc"][:, None])
         return jnp.mean((rgb - target) ** 2)
 
@@ -94,7 +94,7 @@ def test_fused_render_pads_ragged_ray_count():
     fr = make_fused_nerf_render(model, NEAR, FAR, normalize=True,
                                 interpret=True)
     out_p = _pure(model, params, rays_o, rays_d, t)
-    out_f = fr(params, rays_o, rays_d, rays_d, t, deltas_from_t(t))
+    out_f = fr(params, rays_o, rays_d, rays_d, t)
     assert out_f["rgb"].shape == (5, 3)
     assert out_f["weights"].shape == (5, 16)
     np.testing.assert_allclose(out_f["rgb"], out_p.rgb, atol=1e-5)
@@ -147,7 +147,7 @@ def test_fused_siren_render_forward_matches_pure():
                                  interpret=True)
     assert fr is not None
     out_p = _pure(model, params, rays_o, rays_d, t)
-    out_f = fr(params, rays_o, rays_d, rays_d, t, deltas_from_t(t))
+    out_f = fr(params, rays_o, rays_d, rays_d, t)
     np.testing.assert_allclose(out_f["rgb"], out_p.rgb, atol=2e-5)
     np.testing.assert_allclose(out_f["acc"], out_p.acc, atol=2e-5)
     np.testing.assert_allclose(out_f["weights"], out_p.weights, atol=2e-5)
@@ -168,7 +168,7 @@ def test_fused_siren_render_param_grads_match_pure():
         return jnp.mean((rgb - target) ** 2)
 
     def loss_fused(p):
-        out = fr(p, rays_o, rays_d, rays_d, t, deltas_from_t(t))
+        out = fr(p, rays_o, rays_d, rays_d, t)
         rgb = out["rgb"] + (1.0 - out["acc"][:, None])
         return jnp.mean((rgb - target) ** 2)
 
@@ -251,6 +251,6 @@ def test_fused_render_odd_sample_counts(num_samples):
     fr = make_fused_nerf_render(model, NEAR, FAR, normalize=True,
                                 interpret=True)
     out_p = _pure(model, params, rays_o, rays_d, t)
-    out_f = fr(params, rays_o, rays_d, rays_d, t, deltas_from_t(t))
+    out_f = fr(params, rays_o, rays_d, rays_d, t)
     np.testing.assert_allclose(out_f["rgb"], out_p.rgb, atol=2e-5)
     np.testing.assert_allclose(out_f["weights"], out_p.weights, atol=2e-5)

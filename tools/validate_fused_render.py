@@ -54,7 +54,7 @@ fr = make_fused_nerf_render(model, NEAR, FAR, normalize=True,
 assert fr is not None
 
 out_p = jax.jit(pure)(params)
-out_f = jax.jit(lambda p: fr(p, rays_o, rays_d, viewdirs, t, deltas))(params)
+out_f = jax.jit(lambda p: fr(p, rays_o, rays_d, viewdirs, t))(params)
 
 for name, a, b in [
     ("rgb", out_p.rgb, out_f["rgb"]),
@@ -75,7 +75,7 @@ def loss_pure(p):
 
 
 def loss_fused(p):
-    out = fr(p, rays_o, rays_d, viewdirs, t, deltas)
+    out = fr(p, rays_o, rays_d, viewdirs, t)
     rgb = out["rgb"] + (1.0 - out["acc"][:, None])
     return jnp.mean((rgb - target) ** 2)
 
