@@ -128,7 +128,8 @@ def _point_cols_from_t(t_tile, s: int, inf_delta: float = 1e10):
     (~1.2 ms per 6 MB chunk measured on v5e — 11% of a 400x400 render); the
     in-kernel expand+select is a few VPU ops per element. Deltas are
     t[i+1]-t[i] with the reference's 1e10 tail (rendering.py:54-57)."""
-    tr, s_ = t_tile.shape
+    tr = t_tile.shape[0]
+    assert t_tile.shape[1] == s
     lane = jax.lax.broadcasted_iota(jnp.int32, (tr, s), 1)
     rolled = pltpu.roll(t_tile, s - 1, 1)          # t[i+1] at lane i
     d_tile = jnp.where(lane == s - 1, inf_delta, rolled - t_tile)
@@ -349,6 +350,11 @@ def _col_spec(tb: int):
     return pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
+def _t_spec(slot: int, s: int):
+    """Ray-major (slot, S) sample-grid block (t input of every kernel)."""
+    return pl.BlockSpec((slot, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
 def _build_fused_render(h, p_pad, d_pad, s, tr_fwd, tr_bwd, cdt, interpret):
     num_w = len(_WEIGHT_NAMES)
     slot_fwd = _round_up(tr_fwd, 8)
@@ -356,10 +362,6 @@ def _build_fused_render(h, p_pad, d_pad, s, tr_fwd, tr_bwd, cdt, interpret):
 
     mm_cols = (p_pad * h + 4 * h * h) + ((h + p_pad) * h + 3 * h * h) \
         + (h * h + h) + ((h + d_pad) * (h // 2) + (h // 2) * 8)
-
-    def t_spec(slot):
-        return pl.BlockSpec((slot, s), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
 
     def run_fwd(wc, prep, pphase, pmask):
         oE, oS, dE, dS, denc, t2d = prep
@@ -382,7 +384,7 @@ def _build_fused_render(h, p_pad, d_pad, s, tr_fwd, tr_bwd, cdt, interpret):
                               slot=slot_fwd),
             grid=grid,
             in_specs=_ray_specs(slot_fwd, p_pad, d_pad)
-            + [t_spec(slot_fwd)]
+            + [_t_spec(slot_fwd, s)]
             + enc_specs + _weight_specs(wc),
             out_specs=[out_spec, _col_spec(tb)],
             out_shape=[
@@ -391,7 +393,7 @@ def _build_fused_render(h, p_pad, d_pad, s, tr_fwd, tr_bwd, cdt, interpret):
             ],
             cost_estimate=pl.CostEstimate(
                 flops=2 * n * mm_cols,
-                bytes_accessed=n * (2 + 1) * 4 + (n // s) * (8 + 5 * p_pad) * 4,
+                bytes_accessed=n * 2 * 4 + (n // s) * (8 + 5 * p_pad) * 4,
                 transcendentals=n * (p_pad + 8 + 1),
             ),
             compiler_params=pltpu.CompilerParams(
@@ -432,13 +434,13 @@ def _build_fused_render(h, p_pad, d_pad, s, tr_fwd, tr_bwd, cdt, interpret):
                               slot=slot_bwd, num_w=num_w),
             grid=grid,
             in_specs=_ray_specs(slot_bwd, p_pad, d_pad)
-            + [t_spec(slot_bwd), g_spec]
+            + [_t_spec(slot_bwd, s), g_spec]
             + enc_specs + _weight_specs(wc),
             out_specs=acc_specs,
             out_shape=acc_shapes,
             cost_estimate=pl.CostEstimate(
                 flops=3 * 2 * n * mm_cols,
-                bytes_accessed=n * (2 + 1) * 4 + (n // s) * (8 + 5 * p_pad) * 4,
+                bytes_accessed=n * 2 * 4 + (n // s) * (8 + 5 * p_pad) * 4,
                 transcendentals=n * (p_pad + 8 + 1),
             ),
             compiler_params=pltpu.CompilerParams(
@@ -486,10 +488,6 @@ def _build_fused_train(h, p_pad, d_pad, s, tr, cdt, white_bg, scale,
     mm_cols = (p_pad * h + 4 * h * h) + ((h + p_pad) * h + 3 * h * h) \
         + (h * h + h) + ((h + d_pad) * (h // 2) + (h // 2) * 8)
 
-    def t_spec(slot_):
-        return pl.BlockSpec((slot_, s), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-
     def run_train(wc, prep, target8, pphase, pmask):
         oE, oS, dE, dS, denc, t2d = prep
         n = t2d.shape[0] * s
@@ -522,7 +520,7 @@ def _build_fused_train(h, p_pad, d_pad, s, tr, cdt, white_bg, scale,
                               num_valid=num_valid),
             grid=(n_tiles,),
             in_specs=_ray_specs(slot, p_pad, d_pad)
-            + [t_spec(slot), row8]
+            + [_t_spec(slot, s), row8]
             + enc_specs + _weight_specs(wc),
             out_specs=[loss_spec, row8, _col_spec(tb)] + acc_specs,
             out_shape=[
@@ -533,7 +531,7 @@ def _build_fused_train(h, p_pad, d_pad, s, tr, cdt, white_bg, scale,
             + acc_shapes,
             cost_estimate=pl.CostEstimate(
                 flops=3 * 2 * n * mm_cols,
-                bytes_accessed=n * 3 * 4 + (n // s) * (16 + 5 * p_pad) * 4,
+                bytes_accessed=n * 2 * 4 + (n // s) * (16 + 5 * p_pad) * 4,
                 transcendentals=n * (p_pad + 8 + 1),
             ),
             compiler_params=pltpu.CompilerParams(
@@ -576,10 +574,11 @@ def _build_fused_train(h, p_pad, d_pad, s, tr, cdt, white_bg, scale,
 class FusedNerfRender:
     """Callable: fully fused render of a (rays, samples) batch.
 
-    ``__call__(params, rays_o, rays_d, viewdirs, t, deltas)`` returns a dict
-    with ``rgb (R,3)``, ``acc (R,)``, ``depth (R,)``, ``weights (R,S)``
-    (weights are stop-gradient). White background and disparity are left to
-    the caller (cheap (R,) ops). ``t``/``deltas`` are (R, S).
+    ``__call__(params, rays_o, rays_d, viewdirs, t)`` returns a dict with
+    ``rgb (R,3)``, ``acc (R,)``, ``depth (R,)``, ``weights (R,S)`` (weights
+    are stop-gradient). ``t`` is (R, S); deltas (t[i+1]-t[i] with the 1e10
+    tail) are derived in-kernel. White background and disparity are left to
+    the caller (cheap (R,) ops).
     """
 
     def __init__(self, model, near: float, far: float, normalize: bool,
@@ -648,7 +647,8 @@ class FusedNerfRender:
         return self._cache[s]
 
     def _prep(self, rays_o, rays_d, viewdirs, t):
-        """Per-ray encode matrices + t/delta columns (all O(rays) work)."""
+        """Per-ray encode matrices (all O(rays) work); ``t`` passes through
+        ray-major — per-point columns and deltas are derived in-kernel."""
         if self.normalize:
             a = 2.0 / (self.far - self.near)
             b = -2.0 * self.near / (self.far - self.near) - 1.0

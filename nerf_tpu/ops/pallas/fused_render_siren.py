@@ -29,6 +29,7 @@ from nerf_tpu.ops.pallas.fused_nerf import (
 )
 from nerf_tpu.ops.pallas.fused_render import (
     _col_spec,
+    _t_spec,
     _composite_bwd,
     _composite_tile,
     _mse_cotangent,
@@ -172,10 +173,6 @@ def _build(h, d_pad, s, tr_fwd, tr_bwd, cdt, w0s, sigma_mul, rgb_mul,
             for n in _WEIGHT_NAMES
         ]
 
-    def t_spec(slot_):
-        return pl.BlockSpec((slot_, s), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-
     def run_fwd(wc, prep):
         o8, d8, denc, t2d = prep
         n = t2d.shape[0] * s
@@ -191,7 +188,7 @@ def _build(h, d_pad, s, tr_fwd, tr_bwd, cdt, w0s, sigma_mul, rgb_mul,
                               **kern_args),
             grid=(n_tiles,),
             in_specs=_ray_specs(slot_fwd, d_pad)
-            + [t_spec(slot_fwd)] + weight_specs(wc),
+            + [_t_spec(slot_fwd, s)] + weight_specs(wc),
             out_specs=[out_spec, _col_spec(tb)],
             out_shape=[
                 jax.ShapeDtypeStruct((n_tiles * slot_fwd, 8), jnp.float32),
@@ -199,7 +196,7 @@ def _build(h, d_pad, s, tr_fwd, tr_bwd, cdt, w0s, sigma_mul, rgb_mul,
             ],
             cost_estimate=pl.CostEstimate(
                 flops=2 * n * mm_cols,
-                bytes_accessed=n * 3 * 4 + (n // s) * 24 * 4,
+                bytes_accessed=n * 2 * 4 + (n // s) * 24 * 4,
                 transcendentals=n * (8 * h + 8),
             ),
             compiler_params=pltpu.CompilerParams(
@@ -233,12 +230,12 @@ def _build(h, d_pad, s, tr_fwd, tr_bwd, cdt, w0s, sigma_mul, rgb_mul,
                               num_w=num_w, **kern_args),
             grid=(n // tb,),
             in_specs=_ray_specs(slot_bwd, d_pad)
-            + [t_spec(slot_bwd), g_spec] + weight_specs(wc),
+            + [_t_spec(slot_bwd, s), g_spec] + weight_specs(wc),
             out_specs=acc_specs,
             out_shape=acc_shapes,
             cost_estimate=pl.CostEstimate(
                 flops=3 * 2 * n * mm_cols,
-                bytes_accessed=n * 3 * 4 + (n // s) * 32 * 4,
+                bytes_accessed=n * 2 * 4 + (n // s) * 32 * 4,
                 transcendentals=n * (16 * h + 8),
             ),
             compiler_params=pltpu.CompilerParams(
@@ -282,10 +279,6 @@ def _build_train(h, d_pad, s, tr, cdt, w0s, sigma_mul, rgb_mul, white_bg,
             for n in _WEIGHT_NAMES
         ]
 
-    def t_spec(slot_):
-        return pl.BlockSpec((slot_, s), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-
     def run_train(wc, prep, target8):
         o8, d8, denc, t2d = prep
         n = t2d.shape[0] * s
@@ -313,7 +306,7 @@ def _build_train(h, d_pad, s, tr, cdt, w0s, sigma_mul, rgb_mul, white_bg,
                               num_valid=num_valid, **kern_args),
             grid=(n_tiles,),
             in_specs=_ray_specs(slot, d_pad)
-            + [t_spec(slot), row8] + weight_specs(wc),
+            + [_t_spec(slot, s), row8] + weight_specs(wc),
             out_specs=[loss_spec, row8, _col_spec(tb)] + acc_specs,
             out_shape=[
                 jax.ShapeDtypeStruct((1, 8), jnp.float32),
@@ -323,7 +316,7 @@ def _build_train(h, d_pad, s, tr, cdt, w0s, sigma_mul, rgb_mul, white_bg,
             + acc_shapes,
             cost_estimate=pl.CostEstimate(
                 flops=3 * 2 * n * mm_cols,
-                bytes_accessed=n * 3 * 4 + (n // s) * 32 * 4,
+                bytes_accessed=n * 2 * 4 + (n // s) * 32 * 4,
                 transcendentals=n * (16 * h + 8),
             ),
             compiler_params=pltpu.CompilerParams(
