@@ -1,6 +1,7 @@
 from nerf_tpu.models.encoding import positional_encoding
 from nerf_tpu.models.nerf import NeRFModel
 from nerf_tpu.models.siren import SirenModel
+from nerf_tpu.models.gabor import GaborModel
 from nerf_tpu.models.registry import create_model, MODEL_REGISTRY
 
 __all__ = [

@@ -6,12 +6,14 @@ from __future__ import annotations
 
 from typing import Callable
 
+from nerf_tpu.models.gabor import GaborModel
 from nerf_tpu.models.nerf import NeRFModel
 from nerf_tpu.models.siren import SirenModel
 
 MODEL_REGISTRY: dict[str, Callable] = {
     "nerf": NeRFModel,
     "siren": SirenModel,
+    "gabor": GaborModel,  # reference roadmap item (notes.txt:3); MFN-Gabor
 }
 
 

@@ -136,7 +136,59 @@ def test_siren_forward_matches_numpy():
 def test_registry():
     assert create_model("NeRF").name == "nerf"
     assert create_model("siren").name == "siren"
+    assert create_model("gabor").name == "gabor"
     import pytest
 
     with pytest.raises(ValueError, match="Invalid model type"):
-        create_model("gabor")
+        create_model("plenoxels")
+
+
+class TestGaborModel:
+    """MFN-Gabor field (reference roadmap, notes.txt:3)."""
+
+    def _model(self):
+        from nerf_tpu.models import GaborModel
+
+        return GaborModel(hidden_dim=64, num_layers=4)
+
+    def test_shapes(self):
+        model = self._model()
+        params = model.init(jax.random.key(0))
+        pts = jax.random.uniform(jax.random.key(1), (10, 3), minval=-1, maxval=1)
+        dirs = jax.random.normal(jax.random.key(2), (10, 3))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        rgb, sigma = model.apply(params, pts, dirs)
+        assert rgb.shape == (10, 3) and sigma.shape == (10,)
+        assert bool(jnp.all((rgb >= 0) & (rgb <= 1)))
+        assert bool(jnp.all(sigma >= 0))
+
+    def test_registry_and_train_step(self):
+        from nerf_tpu.config import Config
+        from nerf_tpu.models.registry import model_from_config
+        from nerf_tpu.render.renderer import RenderSettings
+        from nerf_tpu.train.optim import make_optimizer
+        from nerf_tpu.train.state import TrainState
+        from nerf_tpu.train.step import make_train_step
+        from nerf_tpu.data.pipeline import RayPool
+
+        cfg = Config(model_type="gabor", hidden_dim=64)
+        model = model_from_config(cfg)
+        assert model.name == "gabor"
+        tx = make_optimizer(cfg)
+        params = model.init(jax.random.key(0))
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           fine_params={}, opt_state=tx.init((params, {})))
+        k = jax.random.key(1)
+        rd = jax.random.normal(k, (512, 3))
+        rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        pool = RayPool(rays_o=jax.random.normal(k, (512, 3)) * 0.1, rays_d=rd,
+                       rgb=jax.random.uniform(k, (512, 3)), viewdirs=rd)
+        settings = RenderSettings(near=2.0, far=6.0, num_samples=8)
+        step = make_train_step(model, tx, settings, 64, jax.random.key(2),
+                               use_pallas=False, donate=False)
+        losses = []
+        for _ in range(30):
+            state, m = step(state, pool)
+            losses.append(float(m["mse"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
