@@ -86,4 +86,16 @@ def get_fused_render(model, settings):
             normalize=settings.normalize_positions,
             **_render_tile_overrides(),
         )
+    from nerf_tpu.models.gabor import GaborModel
+
+    if isinstance(model, GaborModel):
+        from nerf_tpu.ops.pallas.fused_render_gabor import (
+            make_fused_gabor_render,
+        )
+
+        return make_fused_gabor_render(
+            model, settings.near, settings.far,
+            normalize=settings.normalize_positions,
+            **_render_tile_overrides(),
+        )
     return None

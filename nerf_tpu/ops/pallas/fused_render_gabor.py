@@ -1,0 +1,648 @@
+"""Fully fused GaborNet (MFN-Gabor) volumetric rendering + training kernels.
+
+Third model family on the single-kernel fast path (after `fused_render` /
+`fused_render_siren` — see those headers for the shared design). The key
+observation extending the positions-from-rays linearity trick: with
+x = o' + t*d' (affine-normalized ray), EVERY input of a Gabor filter
+
+    g_i(x) = sin(x . omega_i + phi_i) * exp(-gamma_i/2 * ||x - mu_i||^2)
+
+is a polynomial in t with per-ray coefficients:
+
+    sin argument:  A_i + t * B_i         A_i = o'@omega_i + phi_i,  B_i = d'@omega_i
+    ||x - mu||^2:  (p0 + 2t p1 + t^2 p2) - 2(C_i + t D_i) + ||mu_i||^2
+                   p0 = ||o'||^2, p1 = o'.d', p2 = ||d'||^2,
+                   C_i = o'@mu_i^T, D_i = d'@mu_i^T
+
+so the kernel takes per-RAY matrices A,B,C,D (rays x h per layer) plus three
+per-ray scalars and builds every per-sample filter in VMEM. The prep that
+computes A..D from the filter parameters is ordinary differentiable XLA, and
+the training kernel emits per-ray cotangents dA..dD (plus d gamma, d ||mu||^2
+and dp) — so filter parameters (omega, phi, mu, gamma) train through the
+kernel with autodiff completing the chain through the prep.
+
+Implemented: fused forward (eval / coarse-weights pass) and the
+single-kernel train pass (forward + MSE + backward, no recompute of the
+forward). Differentiating through the forward render route is not supported
+(training always uses `.train`); its VJP raises.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerf_tpu.ops.pallas.fused_nerf import (
+    _enc_consts,
+    _fast_sin,
+    _matmul_precision,
+    _mm,
+    _round_up,
+    _trig,
+)
+from nerf_tpu.ops.pallas.fused_render import (
+    HIGHEST,
+    _col_spec,
+    _composite_bwd,
+    _composite_tile,
+    _mse_cotangent,
+    _onehot_rows,
+    _per_ray_sum,
+    _point_cols_from_t,
+    _rep,
+    _slot_rays,
+    _t_spec,
+    _unslot_rays,
+)
+
+
+def _weight_names(n: int) -> tuple:
+    return tuple(
+        x for i in range(1, n) for x in (f"w{i}", f"b{i}")
+    ) + ("ws", "bs", "wre", "bre", "wr0f", "wr0d", "br0", "wr1", "br1")
+
+
+def pack_params(params: dict, d_pad: int, h: int) -> dict:
+    """Linear/head weights -> kernel layout (filters travel via prep)."""
+    out = {}
+    for i, lyr in enumerate(params["linears"], start=1):
+        out[f"w{i}"] = lyr["w"]
+        out[f"b{i}"] = lyr["b"][None, :]
+    out["ws"] = params["sigma"]["w"].T          # (1, h)
+    out["bs"] = params["sigma"]["b"][None, :]   # (1, 1)
+    out["wre"] = params["remap"]["w"]
+    out["bre"] = params["remap"]["b"][None, :]
+    wr0 = params["rgb0"]["w"]                   # (h + real_d, h//2)
+    out["wr0f"] = wr0[:h]
+    out["wr0d"] = jnp.pad(wr0[h:], ((0, d_pad - (wr0.shape[0] - h)), (0, 0)))
+    out["br0"] = params["rgb0"]["b"][None, :]
+    out["wr1"] = jnp.pad(params["rgb1"]["w"], ((0, 0), (0, 5)))
+    out["br1"] = jnp.pad(params["rgb1"]["b"][None, :], ((0, 0), (0, 5)))
+    return out
+
+
+def _cast_weights(packed: dict, cdt) -> dict:
+    return {
+        k: (v.astype(cdt) if k.startswith("w") else v)
+        for k, v in packed.items()
+    }
+
+
+def _filters_tile(filt_tiles, t, s, n, cdt):
+    """Per-sample filter values from the per-ray A/B/C/D tiles.
+
+    filt_tiles: dict with A,B,C,D lists of (TR, h) and p (TR, 8)
+    [p0,p1,p2 in lanes 0..2], gams/m2s lists of (1, h).
+    Returns (gs, sinargs, Es, qs): per-layer (TB, h) values + residuals.
+    """
+    sin, _ = _trig(cdt)
+    p = _rep(filt_tiles["p"], s)                       # (TB, 8)
+    p0, p1, p2 = p[:, 0:1], p[:, 1:2], p[:, 2:3]
+    x2 = p0 + 2.0 * t * p1 + (t * t) * p2              # (TB, 1) = ||x||^2
+    gs, sinargs, Es, qs = [], [], [], []
+    for i in range(n):
+        sinarg = _rep(filt_tiles["A"][i], s) + t * _rep(filt_tiles["B"][i], s)
+        q = x2 - 2.0 * (
+            _rep(filt_tiles["C"][i], s) + t * _rep(filt_tiles["D"][i], s)
+        ) + filt_tiles["m2"][i]
+        E = jnp.exp(-0.5 * filt_tiles["gam"][i] * q)
+        g = sin(sinarg) * E
+        gs.append(g)
+        sinargs.append(sinarg)
+        Es.append(E)
+        qs.append(q)
+    return gs, sinargs, Es, qs
+
+
+def _mlp_tile(gs, denc, w, n, sigma_mul, rgb_mul, cdt):
+    """z_1 = g_1; z_{i+1} = (W_i z_i + b_i) * g_{i+1}; heads like the pure
+    model (relu rgb head, models/gabor.py)."""
+    zs = [gs[0]]
+    us = []
+    for i in range(1, n):
+        u = _mm(zs[-1], w[f"w{i}"], cdt) + w[f"b{i}"]
+        us.append(u)
+        zs.append(u * gs[i])
+    z = zs[-1]
+    sigma_pre = (
+        jnp.sum(z * w["ws"].astype(jnp.float32), axis=1, keepdims=True)
+        + w["bs"]
+    )
+    sigma = jax.nn.relu(sigma_pre) * sigma_mul
+    feat = _mm(z, w["wre"], cdt) + w["bre"]
+    zr0 = _mm(feat, w["wr0f"], cdt) + _mm(denc, w["wr0d"], cdt) + w["br0"]
+    y = jax.nn.relu(zr0)
+    rgb8 = jax.nn.sigmoid((_mm(y, w["wr1"], cdt) + w["br1"]) * rgb_mul)
+    return dict(zs=zs, us=us, denc=denc, sigma_pre=sigma_pre, feat=feat,
+                zr0=zr0, y=y, rgb8=rgb8), sigma
+
+
+def _unpack_filter_refs(refs, n):
+    """Input order: A_1..A_n, B_1.., C_1.., D_1.., p, gam_1.., m2_1.."""
+    out = {}
+    k = 0
+    for name in ("A", "B", "C", "D"):
+        out[name] = [refs[k + i] for i in range(n)]
+        k += n
+    out["p"] = refs[k]; k += 1
+    out["gam"] = [refs[k + i] for i in range(n)]; k += n
+    out["m2"] = [refs[k + i] for i in range(n)]; k += n
+    return out, refs[k:]
+
+
+def _read_filter_tiles(fr, tr):
+    return {
+        "A": [r[:][:tr] for r in fr["A"]],
+        "B": [r[:][:tr] for r in fr["B"]],
+        "C": [r[:][:tr] for r in fr["C"]],
+        "D": [r[:][:tr] for r in fr["D"]],
+        "p": fr["p"][:][:tr],
+        "gam": [r[:] for r in fr["gam"]],
+        "m2": [r[:] for r in fr["m2"]],
+    }
+
+
+def _fwd_kernel(*refs, cdt, s, tr, slot, n, names, sigma_mul, rgb_mul):
+    fr, refs = _unpack_filter_refs(refs, n)
+    (denc_r, t_r), refs = refs[:2], refs[2:]
+    w_refs, (out_ref, wcol_ref) = refs[:-2], refs[-2:]
+    w = {k: v[:] for k, v in zip(names, w_refs)}
+    tb = tr * s
+    g8 = _onehot_rows(tb, tr, s)
+    t, delta = _point_cols_from_t(t_r[:][:tr], s)
+    ft = _read_filter_tiles(fr, tr)
+    gs, _, _, _ = _filters_tile(ft, t, s, n, cdt)
+    acts, sigma = _mlp_tile(gs, _rep(ft_denc := denc_r[:][:tr], s), w, n,
+                            sigma_mul, rgb_mul, cdt)
+    ray_out, w_col, _, _ = _composite_tile(acts, sigma, t, delta, g8, tb, tr, s)
+    if slot != tr:
+        ray_out = jnp.pad(ray_out, ((0, slot - tr), (0, 0)))
+    out_ref[:] = ray_out
+    wcol_ref[:] = w_col
+
+
+def _train_kernel(*refs, cdt, s, tr, slot, n, names, num_w, sigma_mul,
+                  rgb_mul, white_bg, scale, num_valid):
+    fr, refs = _unpack_filter_refs(refs, n)
+    (denc_r, t_r, tgt_r), refs = refs[:3], refs[3:]
+    w_refs = refs[:num_w]
+    refs = refs[num_w:]
+    loss_ref, out_ref, wcol_ref = refs[0], refs[1], refs[2]
+    refs = refs[3:]
+    # per-ray cotangent outputs (grid-blocked), then accumulators
+    dA_refs = refs[:n]; refs = refs[n:]
+    dB_refs = refs[:n]; refs = refs[n:]
+    dC_refs = refs[:n]; refs = refs[n:]
+    dD_refs = refs[:n]; refs = refs[n:]
+    dp_ref = refs[0]; refs = refs[1:]
+    dgam_refs = refs[:n]; refs = refs[n:]
+    dm2_refs = refs[:n]; refs = refs[n:]
+    acc_refs = dict(zip(names, refs))
+    w = {k: v[:] for k, v in zip(names, w_refs)}
+    prec = _matmul_precision(cdt)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        loss_ref[:] = jnp.zeros_like(loss_ref)
+        for r in list(acc_refs.values()) + list(dgam_refs) + list(dm2_refs):
+            r[:] = jnp.zeros_like(r)
+
+    tb = tr * s
+    g8 = _onehot_rows(tb, tr, s)
+    t, delta = _point_cols_from_t(t_r[:][:tr], s)
+    ft = _read_filter_tiles(fr, tr)
+    gs, sinargs, Es, qs = _filters_tile(ft, t, s, n, cdt)
+    denc = _rep(denc_r[:][:tr], s)
+    acts, sigma = _mlp_tile(gs, denc, w, n, sigma_mul, rgb_mul, cdt)
+    ray_out, w_col, T_col, one_m = _composite_tile(
+        acts, sigma, t, delta, g8, tb, tr, s
+    )
+
+    loss_tile, g_ray = _mse_cotangent(
+        ray_out, tgt_r[:][:tr], tr, slot, pl.program_id(0), num_valid,
+        white_bg, scale,
+    )
+    lcol = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    loss_ref[:] += jnp.where(lcol == 0, loss_tile, 0.0)
+
+    g_rgb8, g_sigma = _composite_bwd(
+        acts["rgb8"], w_col, T_col, one_m, t, delta, g_ray, s
+    )
+
+    def mmT_acc(name, a, dz):
+        acc_refs[name][:] += jax.lax.dot_general(
+            a.astype(cdt), dz.astype(cdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    def db_acc(name, dz):
+        acc_refs[name][:] += jnp.sum(dz, axis=0, keepdims=True)
+
+    def dact(dz, wname):
+        return jax.lax.dot_general(
+            dz.astype(cdt), w[wname],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    # --- heads backward (mirrors the pure model) ---
+    rgb8 = acts["rgb8"]
+    dzr1 = g_rgb8 * rgb8 * (1.0 - rgb8) * rgb_mul
+    mmT_acc("wr1", acts["y"], dzr1)
+    db_acc("br1", dzr1)
+    dzr0 = dact(dzr1, "wr1") * (acts["zr0"] > 0)
+    mmT_acc("wr0f", acts["feat"], dzr0)
+    mmT_acc("wr0d", acts["denc"], dzr0)
+    db_acc("br0", dzr0)
+    dfeat = dact(dzr0, "wr0f")
+
+    dsig = g_sigma * sigma_mul * (acts["sigma_pre"] > 0)
+    mmT_acc("wre", acts["zs"][-1], dfeat)
+    db_acc("bre", dfeat)
+    acc_refs["ws"][:] += jnp.sum(acts["zs"][-1] * dsig, axis=0, keepdims=True)
+    acc_refs["bs"][:] += jnp.sum(dsig, axis=0, keepdims=True)
+    dz = dact(dfeat, "wre") + dsig * w["ws"].astype(jnp.float32)
+
+    # --- multiplicative chain backward + filter cotangents ---
+    dgs = [None] * n
+    for i in range(n - 1, 0, -1):
+        du = dz * gs[i]                     # d/d(u_{i}) with u index i-1
+        dgs[i] = dz * acts["us"][i - 1]
+        mmT_acc(f"w{i}", acts["zs"][i - 1], du)
+        db_acc(f"b{i}", du)
+        dz = dact(du, f"w{i}")
+    dgs[0] = dz
+
+    sin, cos = _trig(cdt)
+    dp_pt = jnp.zeros((tb, 8), jnp.float32)
+    for i in range(n):
+        dE = dgs[i] * sin(sinargs[i])
+        dsinarg = dgs[i] * cos(sinargs[i]) * Es[i]
+        dq = dE * Es[i] * (-0.5 * ft["gam"][i])
+        dgam_refs[i][:] += jnp.sum(dE * Es[i] * (-0.5 * qs[i]),
+                                   axis=0, keepdims=True)
+        dm2_refs[i][:] += jnp.sum(dq, axis=0, keepdims=True)
+        # per-ray sums of per-sample cotangents
+        dA = _per_ray_sum(g8, dsinarg)
+        dB = _per_ray_sum(g8, dsinarg * t)
+        dC = _per_ray_sum(g8, -2.0 * dq)
+        dD = _per_ray_sum(g8, -2.0 * dq * t)
+        for ref, val in ((dA_refs[i], dA), (dB_refs[i], dB),
+                         (dC_refs[i], dC), (dD_refs[i], dD)):
+            if slot != tr:
+                val = jnp.pad(val, ((0, slot - tr), (0, 0)))
+            ref[:] = val
+        dq_sum = jnp.sum(dq, axis=1, keepdims=True)       # (TB, 1)
+        col8 = jax.lax.broadcasted_iota(jnp.int32, (tb, 8), 1)
+        dp_pt = dp_pt + jnp.where(
+            col8 == 0, dq_sum, 0.0
+        ) + jnp.where(col8 == 1, 2.0 * t * dq_sum, 0.0) + jnp.where(
+            col8 == 2, (t * t) * dq_sum, 0.0
+        )
+    dp = _per_ray_sum(g8, dp_pt)
+    if slot != tr:
+        dp = jnp.pad(dp, ((0, slot - tr), (0, 0)))
+    dp_ref[:] = dp
+
+    if slot != tr:
+        ray_out = jnp.pad(ray_out, ((0, slot - tr), (0, 0)))
+    out_ref[:] = ray_out
+    wcol_ref[:] = w_col
+
+
+def _filter_specs(slot, h, n):
+    ray = pl.BlockSpec((slot, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    p8 = pl.BlockSpec((slot, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return [ray] * (4 * n) + [p8] + [row] * (2 * n)
+
+
+def _slot_filters(prepf, tr, slot, n):
+    slotted = dict(prepf)
+    for name in ("A", "B", "C", "D"):
+        slotted[name] = [_slot_rays(x, tr, slot) for x in prepf[name]]
+    slotted["p"] = _slot_rays(prepf["p"], tr, slot)
+    return slotted
+
+
+def _flat_filter_args(pf, n):
+    return (
+        list(pf["A"]) + list(pf["B"]) + list(pf["C"]) + list(pf["D"])
+        + [pf["p"]] + list(pf["gam"]) + list(pf["m2"])
+    )
+
+
+def _build(h, d_pad, s, tr_fwd, tr_train, cdt, n, sigma_mul, rgb_mul,
+           white_bg, scale, num_valid, interpret):
+    names = _weight_names(n)
+    num_w = len(names)
+    slot_fwd = _round_up(tr_fwd, 8)
+    slot_tr = _round_up(tr_train, 8)
+
+    def weight_specs(wc):
+        return [
+            pl.BlockSpec(wc[k].shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for k in names
+        ]
+
+    def denc_spec(slot):
+        return pl.BlockSpec((slot, d_pad), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    comp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    def run_fwd(wc, prepf, denc, t2d):
+        n_rays = t2d.shape[0]
+        n_pts = n_rays * s
+        tb = tr_fwd * s
+        n_tiles = n_pts // tb
+        pf = _slot_filters(prepf, tr_fwd, slot_fwd, n)
+        denc_s = _slot_rays(denc, tr_fwd, slot_fwd)
+        t_s = _slot_rays(t2d, tr_fwd, slot_fwd)
+        out_spec = pl.BlockSpec((slot_fwd, 8), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        ray_out, w_col = pl.pallas_call(
+            functools.partial(_fwd_kernel, cdt=cdt, s=s, tr=tr_fwd,
+                              slot=slot_fwd, n=n, names=names,
+                              sigma_mul=sigma_mul, rgb_mul=rgb_mul),
+            grid=(n_tiles,),
+            in_specs=_filter_specs(slot_fwd, h, n)
+            + [denc_spec(slot_fwd), _t_spec(slot_fwd, s)] + weight_specs(wc),
+            out_specs=[out_spec, _col_spec(tb)],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles * slot_fwd, 8), jnp.float32),
+                jax.ShapeDtypeStruct((n_pts, 1), jnp.float32),
+            ],
+            compiler_params=comp,
+            interpret=interpret,
+        )(*_flat_filter_args(pf, n), denc_s, t_s,
+          *(wc[k] for k in names))
+        return _unslot_rays(ray_out, tr_fwd, slot_fwd), w_col
+
+    @jax.custom_vjp
+    def fused(packed, prepf, denc, t2d):
+        return run_fwd(_cast_weights(packed, cdt), prepf, denc, t2d)
+
+    def fused_fwd_rule(packed, prepf, denc, t2d):
+        return fused(packed, prepf, denc, t2d), None
+
+    def fused_bwd_rule(res, g):
+        raise NotImplementedError(
+            "GaborNet fused render is forward-only; training uses .train"
+        )
+
+    fused.defvjp(fused_fwd_rule, fused_bwd_rule)
+
+    def run_train(wc, prepf, denc, t2d, target8):
+        n_rays = t2d.shape[0]
+        n_pts = n_rays * s
+        tb = tr_train * s
+        n_tiles = n_pts // tb
+        pf = _slot_filters(prepf, tr_train, slot_tr, n)
+        denc_s = _slot_rays(denc, tr_train, slot_tr)
+        t_s = _slot_rays(t2d, tr_train, slot_tr)
+        tgt_s = _slot_rays(target8, tr_train, slot_tr)
+        row8 = pl.BlockSpec((slot_tr, 8), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        rayh = pl.BlockSpec((slot_tr, h), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        rowh = pl.BlockSpec((1, h), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+        loss_spec = pl.BlockSpec((1, 8), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        acc_specs = [
+            pl.BlockSpec(wc[k].shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for k in names
+        ]
+        rayh_shape = jax.ShapeDtypeStruct((n_tiles * slot_tr, h), jnp.float32)
+        rowh_shape = jax.ShapeDtypeStruct((1, h), jnp.float32)
+        out_specs = (
+            [loss_spec, row8, _col_spec(tb)]
+            + [rayh] * (4 * n) + [row8] + [rowh] * (2 * n) + acc_specs
+        )
+        out_shape = (
+            [jax.ShapeDtypeStruct((1, 8), jnp.float32),
+             jax.ShapeDtypeStruct((n_tiles * slot_tr, 8), jnp.float32),
+             jax.ShapeDtypeStruct((n_pts, 1), jnp.float32)]
+            + [rayh_shape] * (4 * n)
+            + [jax.ShapeDtypeStruct((n_tiles * slot_tr, 8), jnp.float32)]
+            + [rowh_shape] * (2 * n)
+            + [jax.ShapeDtypeStruct(wc[k].shape, jnp.float32) for k in names]
+        )
+        outs = pl.pallas_call(
+            functools.partial(_train_kernel, cdt=cdt, s=s, tr=tr_train,
+                              slot=slot_tr, n=n, names=names, num_w=num_w,
+                              sigma_mul=sigma_mul, rgb_mul=rgb_mul,
+                              white_bg=white_bg, scale=scale,
+                              num_valid=num_valid),
+            grid=(n_tiles,),
+            in_specs=_filter_specs(slot_tr, h, n)
+            + [denc_spec(slot_tr), _t_spec(slot_tr, s), row8]
+            + weight_specs(wc),
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=comp,
+            interpret=interpret,
+        )(*_flat_filter_args(pf, n), denc_s, t_s, tgt_s,
+          *(wc[k] for k in names))
+        k = 0
+        loss = outs[k][0, 0]; k += 1
+        ray_out = _unslot_rays(outs[k], tr_train, slot_tr); k += 1
+        w_col = outs[k]; k += 1
+        unslot = lambda x: _unslot_rays(x, tr_train, slot_tr)
+        dprepf = {
+            "A": [unslot(outs[k + i]) for i in range(n)],
+            "B": [unslot(outs[k + n + i]) for i in range(n)],
+            "C": [unslot(outs[k + 2 * n + i]) for i in range(n)],
+            "D": [unslot(outs[k + 3 * n + i]) for i in range(n)],
+        }
+        k += 4 * n
+        dprepf["p"] = unslot(outs[k]); k += 1
+        dprepf["gam"] = [outs[k + i] for i in range(n)]; k += n
+        dprepf["m2"] = [outs[k + i] for i in range(n)]; k += n
+        dpacked = dict(zip(names, outs[k:]))
+        return loss, ray_out, w_col, dprepf, dpacked
+
+    @jax.custom_vjp
+    def fused_train(packed, prepf, denc, t2d, target8):
+        loss, ray_out, w_col, _, _ = run_train(
+            _cast_weights(packed, cdt), prepf, denc, t2d, target8
+        )
+        return loss, ray_out, w_col
+
+    def train_fwd(packed, prepf, denc, t2d, target8):
+        loss, ray_out, w_col, dprepf, dpacked = run_train(
+            _cast_weights(packed, cdt), prepf, denc, t2d, target8
+        )
+        return (loss, ray_out, w_col), (dprepf, dpacked, denc, t2d, target8)
+
+    def train_bwd(res, g):
+        dprepf, dpacked, denc, t2d, target8 = res
+        g_loss, _g_rayout, _g_wcol = g
+        scale_tree = lambda tr_: jax.tree.map(lambda a: a * g_loss, tr_)
+        return (scale_tree(dpacked), scale_tree(dprepf),
+                jnp.zeros_like(denc), jnp.zeros_like(t2d),
+                jnp.zeros_like(target8))
+
+    fused_train.defvjp(train_fwd, train_bwd)
+    return fused, fused_train
+
+
+class FusedGaborRender:
+    """Fully fused GaborNet render/train; same call contract as
+    FusedNerfRender (t-only API), with trainable filter parameters flowing
+    through the differentiable prep."""
+
+    def __init__(self, model, near: float, far: float, normalize: bool,
+                 tile_points_fwd: int | None = None,
+                 tile_points_bwd: int | None = None,
+                 interpret: bool = False):
+        self.model = model
+        self.near, self.far, self.normalize = float(near), float(far), normalize
+        self.h = model.hidden_dim
+        self.n = model.num_layers
+        self.real_d = 3 * (1 + 2 * model.dir_encoding_dim)
+        self.d_pad = _round_up(self.real_d, 32)
+        self.cdt = jnp.dtype(model.compute_dtype)
+        bf16 = self.cdt == jnp.bfloat16
+        # the train kernel stashes ~4 per-layer (TB, h) tensors; keep tiles
+        # a step below the NeRF/SIREN defaults
+        self.tile_points_fwd = tile_points_fwd or (1024 if bf16 else 1024)
+        self.tile_points_bwd = tile_points_bwd or (512 if bf16 else 256)
+        self.interpret = interpret
+        self._cache = {}
+
+        ed, sd, phs_d, msk_d = _enc_consts(model.dir_encoding_dim, 3, self.d_pad)
+        self._Ed, self._Sd = jnp.asarray(ed), jnp.asarray(sd)
+        self._phase_d = jnp.asarray(phs_d)[None, :]
+        self._mask_d = jnp.asarray(msk_d)[None, :]
+
+    def supported(self) -> bool:
+        return self.h % 128 == 0 and (self.h // 2) % 128 == 0
+
+    def _pick(self, tile_points: int, s: int) -> int:
+        tr = max(1, tile_points // s)
+        while (tr * s) % 8:
+            tr += 1
+        return tr
+
+    def _get(self, s: int, white_bg: bool, num_valid: int):
+        key = (s, white_bg, num_valid)
+        if key not in self._cache:
+            tr_train = self._pick(self.tile_points_bwd, s)
+            tr_fwd = max(tr_train,
+                         self._pick(self.tile_points_fwd, s) // tr_train
+                         * tr_train)
+            while (tr_fwd * s) % 8:
+                tr_fwd += tr_train
+            scale = 1.0 / (3.0 * max(num_valid, 1))
+            self._cache[key] = (
+                _build(self.h, self.d_pad, s, tr_fwd, tr_train, self.cdt,
+                       self.n, self.model.sigma_mul, self.model.rgb_mul,
+                       white_bg, scale, num_valid, self.interpret),
+                tr_fwd,
+            )
+        return self._cache[key]
+
+    def _prep(self, params, rays_o, rays_d, viewdirs):
+        """Differentiable per-ray filter/dir features (O(rays) XLA work)."""
+        if self.normalize:
+            a = 2.0 / (self.far - self.near)
+            b = -2.0 * self.near / (self.far - self.near) - 1.0
+        else:
+            a, b = 1.0, 0.0
+        o = a * rays_o + b
+        d = a * rays_d
+
+        def dot(x, m):
+            return jnp.dot(x, m, precision=HIGHEST)
+
+        A, B, C, D, gam, m2 = [], [], [], [], [], []
+        for f in params["filters"]:
+            A.append(dot(o, f["omega"]) + f["phi"])
+            B.append(dot(d, f["omega"]))
+            C.append(dot(o, f["mu"].T))
+            D.append(dot(d, f["mu"].T))
+            gam.append(f["gamma"][None, :])
+            m2.append(jnp.sum(f["mu"] ** 2, axis=-1)[None, :])
+        p = jnp.concatenate(
+            [jnp.sum(o * o, -1, keepdims=True),
+             jnp.sum(o * d, -1, keepdims=True),
+             jnp.sum(d * d, -1, keepdims=True),
+             jnp.zeros((o.shape[0], 5), jnp.float32)], axis=-1,
+        )
+        prepf = {"A": A, "B": B, "C": C, "D": D, "p": p, "gam": gam, "m2": m2}
+        denc = dot(viewdirs, self._Ed) + self._mask_d * jnp.sin(
+            dot(viewdirs, self._Sd) + self._phase_d
+        )
+        return prepf, denc
+
+    def _pad(self, arrs, pad):
+        return [jnp.pad(x, ((0, pad), (0, 0))) for x in arrs]
+
+    def _call_common(self, params, rays_o, rays_d, viewdirs, t, tr):
+        num_rays, s = t.shape
+        r_pad = _round_up(max(num_rays, tr), tr)
+        pad = r_pad - num_rays
+        if pad:
+            rays_o, rays_d, viewdirs, t = (
+                jnp.pad(x, ((0, pad), (0, 0)))
+                for x in (rays_o, rays_d, viewdirs, t)
+            )
+        prepf, denc = self._prep(params, rays_o, rays_d, viewdirs)
+        packed = pack_params(params, self.d_pad, self.h)
+        return packed, prepf, denc, t, r_pad, pad
+
+    def __call__(self, params, rays_o, rays_d, viewdirs, t):
+        num_rays, s = t.shape
+        (fused, _), tr_fwd = self._get(s, True, num_rays)
+        packed, prepf, denc, t, r_pad, _ = self._call_common(
+            params, rays_o, rays_d, viewdirs, t, tr_fwd
+        )
+        ray_out, w_col = fused(packed, prepf, denc, t)
+        ray_out = ray_out[:num_rays]
+        return {
+            "rgb": ray_out[:, :3],
+            "acc": ray_out[:, 3],
+            "depth": ray_out[:, 4],
+            "weights": jax.lax.stop_gradient(
+                w_col.reshape(r_pad, s)[:num_rays]
+            ),
+        }
+
+    def train(self, params, rays_o, rays_d, viewdirs, t, target,
+              white_bg: bool):
+        num_rays, s = t.shape
+        (_, fused_train), _ = self._get(s, white_bg, num_rays)
+        tr = self._pick(self.tile_points_bwd, s)
+        packed, prepf, denc, t, r_pad, pad = self._call_common(
+            params, rays_o, rays_d, viewdirs, t, tr
+        )
+        target8 = jnp.pad(target, ((0, r_pad - num_rays), (0, 5)))
+        loss, ray_out, w_col = fused_train(packed, prepf, denc, t, target8)
+        ray_out = jax.lax.stop_gradient(ray_out[:num_rays])
+        return loss, {
+            "rgb": ray_out[:, :3],
+            "acc": ray_out[:, 3],
+            "weights": jax.lax.stop_gradient(
+                w_col.reshape(r_pad, s)[:num_rays]
+            ),
+        }
+
+
+def make_fused_gabor_render(model, near, far, normalize=True,
+                            tile_points_fwd: int | None = None,
+                            tile_points_bwd: int | None = None,
+                            interpret: bool = False):
+    fr = FusedGaborRender(model, near, far, normalize,
+                          tile_points_fwd=tile_points_fwd,
+                          tile_points_bwd=tile_points_bwd,
+                          interpret=interpret)
+    return fr if fr.supported() else None

@@ -254,3 +254,50 @@ def test_fused_render_odd_sample_counts(num_samples):
     out_f = fr(params, rays_o, rays_d, rays_d, t)
     np.testing.assert_allclose(out_f["rgb"], out_p.rgb, atol=2e-5)
     np.testing.assert_allclose(out_f["weights"], out_p.weights, atol=2e-5)
+
+
+def test_fused_gabor_render_and_train_match_pure():
+    """GaborNet fused kernels (forward + single-kernel train incl. trainable
+    filter parameters through the differentiable prep) vs the pure path."""
+    from nerf_tpu.models import GaborModel
+    from nerf_tpu.ops.pallas.fused_render_gabor import make_fused_gabor_render
+
+    model = GaborModel(hidden_dim=256, num_layers=4)
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    R, S = 6, 16
+    rays_o = jnp.asarray(rng.uniform(2.5, 3.5, (R, 3)), jnp.float32)
+    rd = rng.normal(size=(R, 3))
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rays_d = jnp.asarray(rd, jnp.float32)
+    edges = np.linspace(NEAR, FAR, S + 1)
+    t = jnp.asarray(
+        edges[:-1] + rng.uniform(0, 1, (R, S)) * (edges[1:] - edges[:-1]),
+        jnp.float32,
+    )
+    target = jnp.asarray(rng.uniform(0, 1, (R, 3)), jnp.float32)
+
+    fr = make_fused_gabor_render(model, NEAR, FAR, normalize=True,
+                                 interpret=True)
+    assert fr is not None
+    out_p = _pure(model, params, rays_o, rays_d, t)
+    out_f = fr(params, rays_o, rays_d, rays_d, t)
+    np.testing.assert_allclose(out_f["rgb"], out_p.rgb, atol=2e-5)
+    np.testing.assert_allclose(out_f["weights"], out_p.weights, atol=2e-5)
+
+    def loss_pure(p):
+        out = _pure(model, p, rays_o, rays_d, t)
+        rgb = out.rgb + (1.0 - out.acc[:, None])
+        return jnp.mean((rgb - target) ** 2)
+
+    def loss_tr(p):
+        return fr.train(p, rays_o, rays_d, rays_d, t, target, True)[0]
+
+    lp, gp = jax.value_and_grad(loss_pure)(params)
+    lt, gt = jax.value_and_grad(loss_tr)(params)
+    np.testing.assert_allclose(float(lt), float(lp), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gt)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-10
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-3
+        )
