@@ -17,9 +17,12 @@ wavelets — band-limited like SIREN but with spatially localized support.
 Head structure mirrors the repo's Siren variant so the renderer/trainer see
 the identical contract: density = relu(Linear(h,1)) * sigma_mul on the final
 hidden state, feature remap Linear(h,h), and the view-dependent rgb branch
-(dirs use the L=4 frequency encoding) ending in sigmoid. No fused kernel yet
-— this family runs on the pure-JAX path (the resolver falls back
-automatically), which the framework treats as the numerical reference tier.
+(dirs use the L=4 frequency encoding) ending in sigmoid. This module is the
+pure-JAX numerical reference tier; on TPU the resolver routes rendering and
+training through the fused Pallas kernels in
+``nerf_tpu/ops/pallas/fused_render_gabor.py`` (forward render + single-kernel
+fwd+MSE+bwd train pass with filter params training through the
+differentiable prep).
 """
 
 from __future__ import annotations

@@ -700,7 +700,7 @@ class FusedNerfRender:
                 return tr
 
             tr = pick(self.tile_points_train)
-            scale = 1.0 / (3.0 * num_valid)
+            scale = 1.0 / (3.0 * max(num_valid, 1))
             self._cache[key] = (
                 _build_fused_train(
                     self.h, self.p_pad, self.d_pad, s, tr, self.cdt,

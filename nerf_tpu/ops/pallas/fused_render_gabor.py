@@ -337,25 +337,26 @@ def _flat_filter_args(pf, n):
     )
 
 
-def _build(h, d_pad, s, tr_fwd, tr_train, cdt, n, sigma_mul, rgb_mul,
-           white_bg, scale, num_valid, interpret):
+def _weight_specs(wc, names):
+    return [
+        pl.BlockSpec(wc[k].shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for k in names
+    ]
+
+
+def _denc_spec(slot, d_pad):
+    return pl.BlockSpec((slot, d_pad), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+_COMP = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _build_fwd(h, d_pad, s, tr_fwd, cdt, n, sigma_mul, rgb_mul, interpret):
+    """Forward (eval) render kernel — independent of white_bg / ray count,
+    so callers cache it on ``s`` alone."""
     names = _weight_names(n)
-    num_w = len(names)
     slot_fwd = _round_up(tr_fwd, 8)
-    slot_tr = _round_up(tr_train, 8)
-
-    def weight_specs(wc):
-        return [
-            pl.BlockSpec(wc[k].shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
-            for k in names
-        ]
-
-    def denc_spec(slot):
-        return pl.BlockSpec((slot, d_pad), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-
-    comp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
     def run_fwd(wc, prepf, denc, t2d):
         n_rays = t2d.shape[0]
@@ -373,13 +374,14 @@ def _build(h, d_pad, s, tr_fwd, tr_train, cdt, n, sigma_mul, rgb_mul,
                               sigma_mul=sigma_mul, rgb_mul=rgb_mul),
             grid=(n_tiles,),
             in_specs=_filter_specs(slot_fwd, h, n)
-            + [denc_spec(slot_fwd), _t_spec(slot_fwd, s)] + weight_specs(wc),
+            + [_denc_spec(slot_fwd, d_pad), _t_spec(slot_fwd, s)]
+            + _weight_specs(wc, names),
             out_specs=[out_spec, _col_spec(tb)],
             out_shape=[
                 jax.ShapeDtypeStruct((n_tiles * slot_fwd, 8), jnp.float32),
                 jax.ShapeDtypeStruct((n_pts, 1), jnp.float32),
             ],
-            compiler_params=comp,
+            compiler_params=_COMP,
             interpret=interpret,
         )(*_flat_filter_args(pf, n), denc_s, t_s,
           *(wc[k] for k in names))
@@ -398,6 +400,16 @@ def _build(h, d_pad, s, tr_fwd, tr_train, cdt, n, sigma_mul, rgb_mul,
         )
 
     fused.defvjp(fused_fwd_rule, fused_bwd_rule)
+    return fused
+
+
+def _build_train(h, d_pad, s, tr_train, cdt, n, sigma_mul, rgb_mul,
+                 white_bg, scale, num_valid, interpret):
+    """Single-kernel fwd+MSE+bwd train pass (depends on white_bg and the
+    valid-ray count through the loss scale — cached per those)."""
+    names = _weight_names(n)
+    num_w = len(names)
+    slot_tr = _round_up(tr_train, 8)
 
     def run_train(wc, prepf, denc, t2d, target8):
         n_rays = t2d.shape[0]
@@ -416,11 +428,7 @@ def _build(h, d_pad, s, tr_fwd, tr_train, cdt, n, sigma_mul, rgb_mul,
                             memory_space=pltpu.VMEM)
         loss_spec = pl.BlockSpec((1, 8), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
-        acc_specs = [
-            pl.BlockSpec(wc[k].shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
-            for k in names
-        ]
+        acc_specs = _weight_specs(wc, names)
         rayh_shape = jax.ShapeDtypeStruct((n_tiles * slot_tr, h), jnp.float32)
         rowh_shape = jax.ShapeDtypeStruct((1, h), jnp.float32)
         out_specs = (
@@ -444,11 +452,11 @@ def _build(h, d_pad, s, tr_fwd, tr_train, cdt, n, sigma_mul, rgb_mul,
                               num_valid=num_valid),
             grid=(n_tiles,),
             in_specs=_filter_specs(slot_tr, h, n)
-            + [denc_spec(slot_tr), _t_spec(slot_tr, s), row8]
-            + weight_specs(wc),
+            + [_denc_spec(slot_tr, d_pad), _t_spec(slot_tr, s), row8]
+            + _weight_specs(wc, names),
             out_specs=out_specs,
             out_shape=out_shape,
-            compiler_params=comp,
+            compiler_params=_COMP,
             interpret=interpret,
         )(*_flat_filter_args(pf, n), denc_s, t_s, tgt_s,
           *(wc[k] for k in names))
@@ -492,7 +500,7 @@ def _build(h, d_pad, s, tr_fwd, tr_train, cdt, n, sigma_mul, rgb_mul,
                 jnp.zeros_like(target8))
 
     fused_train.defvjp(train_fwd, train_bwd)
-    return fused, fused_train
+    return fused_train
 
 
 class FusedGaborRender:
@@ -533,8 +541,10 @@ class FusedGaborRender:
             tr += 1
         return tr
 
-    def _get(self, s: int, white_bg: bool, num_valid: int):
-        key = (s, white_bg, num_valid)
+    def _get_fwd(self, s: int):
+        """Eval kernel, cached on ``s`` alone — varying eval ray counts /
+        white_bg must not retrace it."""
+        key = ("fwd", s)
         if key not in self._cache:
             tr_train = self._pick(self.tile_points_bwd, s)
             tr_fwd = max(tr_train,
@@ -542,12 +552,24 @@ class FusedGaborRender:
                          * tr_train)
             while (tr_fwd * s) % 8:
                 tr_fwd += tr_train
+            self._cache[key] = (
+                _build_fwd(self.h, self.d_pad, s, tr_fwd, self.cdt,
+                           self.n, self.model.sigma_mul, self.model.rgb_mul,
+                           self.interpret),
+                tr_fwd,
+            )
+        return self._cache[key]
+
+    def _get_train(self, s: int, white_bg: bool, num_valid: int):
+        key = ("train", s, white_bg, num_valid)
+        if key not in self._cache:
+            tr_train = self._pick(self.tile_points_bwd, s)
             scale = 1.0 / (3.0 * max(num_valid, 1))
             self._cache[key] = (
-                _build(self.h, self.d_pad, s, tr_fwd, tr_train, self.cdt,
-                       self.n, self.model.sigma_mul, self.model.rgb_mul,
-                       white_bg, scale, num_valid, self.interpret),
-                tr_fwd,
+                _build_train(self.h, self.d_pad, s, tr_train, self.cdt,
+                             self.n, self.model.sigma_mul, self.model.rgb_mul,
+                             white_bg, scale, num_valid, self.interpret),
+                tr_train,
             )
         return self._cache[key]
 
@@ -602,7 +624,7 @@ class FusedGaborRender:
 
     def __call__(self, params, rays_o, rays_d, viewdirs, t):
         num_rays, s = t.shape
-        (fused, _), tr_fwd = self._get(s, True, num_rays)
+        fused, tr_fwd = self._get_fwd(s)
         packed, prepf, denc, t, r_pad, _ = self._call_common(
             params, rays_o, rays_d, viewdirs, t, tr_fwd
         )
@@ -620,8 +642,7 @@ class FusedGaborRender:
     def train(self, params, rays_o, rays_d, viewdirs, t, target,
               white_bg: bool):
         num_rays, s = t.shape
-        (_, fused_train), _ = self._get(s, white_bg, num_rays)
-        tr = self._pick(self.tile_points_bwd, s)
+        fused_train, tr = self._get_train(s, white_bg, num_rays)
         packed, prepf, denc, t, r_pad, pad = self._call_common(
             params, rays_o, rays_d, viewdirs, t, tr
         )

@@ -465,7 +465,7 @@ class FusedSirenRender:
                 _build_train(
                     self.h, self.d_pad, s, tr, self.cdt, self.w0s,
                     self.sigma_mul, self.rgb_mul, white_bg,
-                    1.0 / (3.0 * num_valid), num_valid, self.interpret,
+                    1.0 / (3.0 * max(num_valid, 1)), num_valid, self.interpret,
                 ),
                 tr,
             )
