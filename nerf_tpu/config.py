@@ -104,6 +104,12 @@ class Config:
                                      # 0 = auto (gcd of log/val/save intervals),
                                      # 1 = one dispatch per step (reference cadence)
     mesh_shape: str = ""             # e.g. "data:8"; empty = all devices on 'data'
+    multihost: bool = False          # call jax.distributed.initialize() (env/TPU
+                                     # auto-detection) so the mesh spans all hosts
+    epoch_sampling: bool = False     # strict reference parity: epoch permutation
+                                     # without replacement (DataLoader shuffle
+                                     # semantics, train.py:119-121,155-160);
+                                     # default = uniform with replacement
     donate_state: bool = True
     debug_nans: bool = False         # jax_debug_nans: fail fast on NaN/Inf
     profile_dir: str = ""            # capture a jax.profiler trace to this dir

@@ -7,10 +7,20 @@ the ENTIRE ray pool is uploaded to HBM once at startup, and each training
 step draws a uniform random batch on-device with ``jax.random.randint`` + a
 gather — all inside the jitted step, so steps never touch the host.
 
-Uniform-with-replacement sampling replaces epoch-shuffling; for NeRF-style
-training over tens of millions of rays the two are statistically
+Uniform-with-replacement sampling replaces epoch-shuffling by default; for
+NeRF-style training over tens of millions of rays the two are statistically
 indistinguishable and with-replacement keeps the step a pure function of
 (state, key).
+
+Strict reference parity (``epoch_sampling=True``): epoch permutation without
+replacement, matching the DataLoader shuffle-and-wrap semantics
+(/root/reference/train.py:119-121,155-160). A materialized
+``jax.random.permutation`` of a 40M-ray pool per epoch would cost a full
+device sort; instead the permutation is a stateless format-preserving
+cipher — a 4-round balanced Feistel network over [0, M) with cycle-walking —
+so the step stays a pure function of (step, key): position ``p`` of epoch
+``e`` maps to ray ``cipher(fold_in(key, e), p)``, an exact bijection, O(batch)
+work, no carried shuffle state.
 """
 
 from __future__ import annotations
@@ -25,6 +35,67 @@ import jax.numpy as jnp
 from nerf_tpu.data.blender import load_blender
 from nerf_tpu.data.llff import load_llff
 from nerf_tpu.data.rays import compute_rays
+
+
+def _feistel_permute(key: jax.Array, x: jax.Array, domain: int) -> jax.Array:
+    """Exact pseudorandom permutation of ``[0, domain)`` applied elementwise.
+
+    4-round balanced Feistel cipher over the smallest even-bit power-of-two
+    domain >= ``domain``, with cycle-walking back into range (expected < 2
+    walks since 2^nb < 4*domain). Bijective by construction — every epoch
+    position maps to a distinct ray index.
+    """
+    nb = max(2, (max(domain - 1, 1)).bit_length())
+    nb += nb % 2  # balanced halves
+    half = nb // 2
+    mask = jnp.uint32((1 << half) - 1)
+    rks = jax.random.bits(key, (4,), dtype=jnp.uint32)
+
+    def feistel(v: jax.Array) -> jax.Array:
+        left = (v >> half).astype(jnp.uint32)
+        right = (v & mask).astype(jnp.uint32)
+        for r in range(4):
+            # murmur3-style integer mix of (right, round key)
+            f = (right ^ rks[r]) * jnp.uint32(0x9E3779B1)
+            f = f ^ (f >> 15)
+            f = f * jnp.uint32(0x85EBCA6B)
+            f = f ^ (f >> 13)
+            left, right = right, left ^ (f & mask)
+        return (left << half) | right
+
+    dom = jnp.uint32(domain)
+
+    def walk(v):
+        return jax.lax.while_loop(
+            lambda u: jnp.any(u >= dom),
+            lambda u: jnp.where(u >= dom, feistel(u), u),
+            v,
+        )
+
+    return walk(feistel(x.astype(jnp.uint32))).astype(jnp.int32)
+
+
+def epoch_indices(
+    key: jax.Array, step: jax.Array, batch_size: int, pool_size: int
+) -> jax.Array:
+    """Ray indices for training step ``step`` under epoch-permutation
+    (without-replacement) sampling. Pure function of (key, step): linear
+    position ``p = step*batch + i`` lands in epoch ``p // pool_size`` at
+    offset ``p % pool_size``; each epoch permutes offsets with its own
+    cipher key (``fold_in(key, epoch)``). Batches straddling an epoch
+    boundary wrap into the next epoch's permutation."""
+    pos = jnp.asarray(step, jnp.int32) * batch_size + jnp.arange(
+        batch_size, dtype=jnp.int32
+    )
+    epoch = pos // pool_size
+    offset = (pos % pool_size).astype(jnp.uint32)
+    e0 = epoch[0]
+    # a batch spans at most two epochs (batch_size <= pool_size)
+    k0 = jax.random.fold_in(key, e0)
+    k1 = jax.random.fold_in(key, e0 + 1)
+    idx0 = _feistel_permute(k0, offset, pool_size)
+    idx1 = _feistel_permute(k1, offset, pool_size)
+    return jnp.where(epoch > e0, idx1, idx0)
 
 
 class RayBatch(NamedTuple):
@@ -49,6 +120,17 @@ class RayPool(NamedTuple):
     def sample(self, key: jax.Array, batch_size: int) -> RayBatch:
         """Uniform random ray batch; jit-safe (static batch_size)."""
         idx = jax.random.randint(key, (batch_size,), 0, self.rays_o.shape[0])
+        return self._take(idx)
+
+    def sample_epoch(self, key: jax.Array, step: jax.Array,
+                     batch_size: int) -> RayBatch:
+        """Without-replacement batch: reference DataLoader epoch-shuffle
+        semantics (see ``epoch_indices``). ``key`` must be the SAME key every
+        step (the epoch, not the step, reseeds the permutation)."""
+        idx = epoch_indices(key, step, batch_size, self.rays_o.shape[0])
+        return self._take(idx)
+
+    def _take(self, idx: jax.Array) -> RayBatch:
         take = lambda x: jnp.take(x, idx, axis=0)
         return RayBatch(
             rays_o=take(self.rays_o),
@@ -79,7 +161,17 @@ def build_ray_pool(
         viewdirs = flat(viewdirs)
         viewdirs = viewdirs / np.linalg.norm(viewdirs, axis=-1, keepdims=True)
 
-    put = (lambda x: jax.device_put(x, sharding)) if sharding is not None else jnp.asarray
+    if sharding is not None:
+        # pad to a shard multiple by wrapping — duplicate rays are harmless
+        # for uniform with-replacement sampling (same trick as mesh.shard_pool)
+        n_shards = getattr(sharding, "num_devices", None) or len(sharding.device_set)
+        rem = (-rays_o.shape[0]) % n_shards
+        if rem:
+            wrap = lambda x: np.concatenate([x, x[:rem]], axis=0)
+            rays_o, rays_d, rgb, viewdirs = map(wrap, (rays_o, rays_d, rgb, viewdirs))
+        put = lambda x: jax.device_put(x, sharding)
+    else:
+        put = jnp.asarray
     return RayPool(
         rays_o=put(rays_o), rays_d=put(rays_d), rgb=put(rgb), viewdirs=put(viewdirs)
     )

@@ -82,14 +82,18 @@ def resolve_fused_render(model, settings: RenderSettings,
             rd = jnp.ones((8, 3), jnp.float32)
             t = jnp.linspace(0.1, 1.0, 8)[None, :].repeat(8, 0)
 
-            def probe_loss(p):
+            def probe_fwd(p):
                 out = fr(p, ro, rd, rd, t)
                 return jnp.sum(out["rgb"]) + jnp.sum(out["acc"])
 
-            jax.block_until_ready(
-                jax.jit(jax.grad(probe_loss)).lower(params).compile()(params)
-            )
             if hasattr(fr, "train"):
+                # Training goes through the single-kernel train pass, so the
+                # forward route only needs to evaluate (eval/validation path);
+                # grad-probing it would wrongly reject kernels whose forward
+                # VJP is intentionally unimplemented (e.g. GaborNet).
+                jax.block_until_ready(
+                    jax.jit(probe_fwd).lower(params).compile()(params)
+                )
                 tgt = jnp.zeros((8, 3), jnp.float32)
 
                 def probe_train(p):
@@ -98,6 +102,12 @@ def resolve_fused_render(model, settings: RenderSettings,
                 jax.block_until_ready(
                     jax.jit(jax.grad(probe_train)).lower(params)
                     .compile()(params)
+                )
+            else:
+                # No fused train pass: training differentiates through the
+                # forward route, so the probe must exercise its VJP.
+                jax.block_until_ready(
+                    jax.jit(jax.grad(probe_fwd)).lower(params).compile()(params)
                 )
         return fr
     except Exception as e:  # pragma: no cover - backend-specific
@@ -114,9 +124,13 @@ def _make_step_body(
     base_key: jax.Array,
     data_sharding=None,
     fused_render=None,
+    epoch_sampling: bool = False,
 ):
     """The un-jitted single-iteration body shared by the one-step and
     scanned trainers: sample batch -> render -> MSE -> grad -> optax update."""
+    # epoch-permutation sampling keys the per-epoch cipher off a stream
+    # disjoint from the per-step render keys
+    k_epoch = jax.random.fold_in(base_key, 0x7FFFFFFF)
     # Single-kernel fused train pass (fwd + MSE + bwd in one Pallas call,
     # no forward recompute) when the kernel provides it.
     use_fused_train = fused_render is not None and hasattr(fused_render, "train")
@@ -158,7 +172,10 @@ def _make_step_body(
         key = jax.random.fold_in(base_key, state.step)
         k_sample, k_render = jax.random.split(key)
 
-        batch = pool.sample(k_sample, batch_size)
+        if epoch_sampling:
+            batch = pool.sample_epoch(k_epoch, state.step, batch_size)
+        else:
+            batch = pool.sample(k_sample, batch_size)
         if data_sharding is not None:
             batch = jax.tree.map(
                 lambda x: jax.lax.with_sharding_constraint(x, data_sharding), batch
@@ -200,6 +217,7 @@ def make_train_step(
     donate: bool = True,
     apply_fn: Optional[Callable] = None,
     fused_render=None,
+    epoch_sampling: bool = False,
 ):
     """Returns ``step(state, pool) -> (state, metrics)`` (jitted).
 
@@ -213,7 +231,7 @@ def make_train_step(
             fused_render = resolve_fused_render(model, settings, use_pallas)
     step = _make_step_body(
         apply_fn, tx, settings, batch_size, base_key, data_sharding,
-        fused_render=fused_render,
+        fused_render=fused_render, epoch_sampling=epoch_sampling,
     )
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -230,6 +248,7 @@ def make_scan_train_step(
     donate: bool = True,
     apply_fn: Optional[Callable] = None,
     fused_render=None,
+    epoch_sampling: bool = False,
 ):
     """Returns ``step_n(state, pool) -> (state, metrics)`` running
     ``num_steps`` training iterations inside ONE compiled program via
@@ -249,7 +268,7 @@ def make_scan_train_step(
             fused_render = resolve_fused_render(model, settings, use_pallas)
     one_step = _make_step_body(
         apply_fn, tx, settings, batch_size, base_key, data_sharding,
-        fused_render=fused_render,
+        fused_render=fused_render, epoch_sampling=epoch_sampling,
     )
 
     def step_n(state: TrainState, pool: RayPool):
