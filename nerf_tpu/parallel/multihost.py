@@ -20,15 +20,32 @@ from typing import Optional
 import jax
 
 
+def _is_initialized() -> bool:
+    """Whether jax.distributed.initialize has already run — checked WITHOUT
+    touching the backend (jax.process_count() would initialize it, after
+    which distributed init is impossible)."""
+    try:
+        from jax._src import distributed
+
+        return distributed.global_state.client is not None
+    except Exception:  # pragma: no cover - private-API drift guard
+        return False
+
+
 def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Initialize jax.distributed (no-op when already initialized or when
-    running single-process). Arguments default to TPU auto-detection."""
-    if jax.process_count() > 1:
+    """Initialize jax.distributed (no-op when already initialized).
+
+    With no arguments, relies on cluster auto-detection (TPU metadata, Slurm,
+    env vars); failure to detect a cluster is treated as a single-process run.
+    With explicit arguments, failures propagate — a misconfigured coordinator
+    must not silently degrade to single-process training."""
+    if _is_initialized():
         return
+    explicit = coordinator_address is not None or num_processes is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -36,8 +53,9 @@ def init_distributed(
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
-        # single-process run (no coordinator configured) — fine.
-        pass
+        if explicit:
+            raise
+        # single-process run (no coordinator configured/detected) — fine.
 
 
 def global_pool_from_local(local_pool, mesh, axis: str = "data"):

@@ -4,8 +4,11 @@ Preserves every observable trainer behavior of the reference
 (/root/reference/train.py:20-263): seeding, config summary, interval-driven
 logging/checkpointing/validation (same conditions), resume, final save, and
 checkpoint-on-SIGINT — while the step itself is the jitted TPU program from
-`nerf_tpu.train.step` (or the explicit shard_map variant when a multi-device
-mesh is active).
+`nerf_tpu.train.step` (GSPMD: sharded ray batches + replicated params make
+XLA emit the gradient psum; the explicit shard_map twin lives in
+`nerf_tpu.parallel.dp` for tests and tooling). With ``multihost=True`` the
+same loop spans processes: jax.distributed init, globally sharded pool,
+process-0-gated logging/metadata, collective checkpoints.
 
 Asynchronous dispatch: metrics are device arrays; the loop only forces them
 to host on log steps, so between logs the host runs ahead and the TPU queue
@@ -81,13 +84,24 @@ def fit(
     enable_tensorboard: bool = True,
 ) -> TrainState:
     """Train per the config; returns the final TrainState."""
+    # Multi-host: initialize jax.distributed BEFORE the first backend query so
+    # the mesh below spans every process's devices (reference is single-device,
+    # train.py:98-99; this is the BASELINE north-star scale-out path).
+    if cfg.multihost:
+        from nerf_tpu.parallel.multihost import init_distributed
+
+        init_distributed()
+    from nerf_tpu.parallel.multihost import is_primary
+
+    primary = is_primary()
     np.random.seed(cfg.seed)
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     root_key = jax.random.key(cfg.seed)
     k_init, k_train, k_val = jax.random.split(root_key, 3)
 
-    print_config_summary(cfg)
+    if primary:
+        print_config_summary(cfg)
     num_iters = int(max_steps if max_steps is not None else cfg.num_iters)
 
     # --- mesh / sharding ---
@@ -99,11 +113,17 @@ def fit(
         mesh = create_mesh(cfg.mesh_shape)
         data_shard = data_sharding(mesh)
         replicated = replicated_sharding(mesh)
-        print(f"Mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        if primary:
+            print(f"Mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
     # --- data ---
-    print("Loading dataset...")
-    scene = load_scene(cfg)
+    if primary:
+        print("Loading dataset...")
+    # The pool lives sharded across the data axis — each chip holds M/D rays
+    # in its HBM, never the full pool replicated. Every process loads the full
+    # (host-side) ray arrays; device_put with a global sharding places each
+    # process's addressable shards from the identical host value.
+    scene = load_scene(cfg, sharding=data_shard)
     settings = render_settings_from_config(cfg, ndc=scene.ndc)
     # the scene dictates the sampling interval and background (NDC scenes
     # sample t in [0,1] and composite without a white background)
@@ -113,13 +133,19 @@ def fit(
         settings, near=scene.near, far=scene.far,
         white_background=scene.white_background,
     )
-    print(
-        f"Loaded scene '{scene.name}': {scene.pool.size} train rays, "
-        f"{scene.val_images.shape[0]} val images {scene.hw[0]}x{scene.hw[1]}"
-    )
+    if primary:
+        print(
+            f"Loaded scene '{scene.name}': {scene.pool.size} train rays, "
+            f"{scene.val_images.shape[0]} val images {scene.hw[0]}x{scene.hw[1]}"
+        )
 
     # --- model / state ---
     model, tx, state = create_train_state(cfg, k_init)
+    if replicated is not None:
+        # Place the fresh state replicated on the (possibly multi-process)
+        # mesh. Init is deterministic from cfg.seed, so every process holds
+        # the identical value — required for a global device_put.
+        state = jax.device_put(state, replicated)
     start_step = 0
     if resume_path is not None:
         meta = read_metadata(resume_path)
@@ -129,7 +155,8 @@ def fit(
             # state replicated on the mesh so the sharded step accepts it.
             state = jax.device_put(state, replicated)
         start_step = int(meta["step"])
-        print(f"Resuming training from iteration {start_step}")
+        if primary:
+            print(f"Resuming training from iteration {start_step}")
 
     fused_render = resolve_fused_render(model, settings, use_pallas=cfg.use_pallas)
     apply_fn = (
@@ -146,6 +173,7 @@ def fit(
         donate=cfg.donate_state,
         apply_fn=apply_fn,
         fused_render=fused_render,
+        epoch_sampling=cfg.epoch_sampling,
     )
 
     # Scan-chunked stepping: between host touchpoints (log/val/save), run N
@@ -175,6 +203,7 @@ def fit(
                 donate=cfg.donate_state,
                 apply_fn=apply_fn,
                 fused_render=fused_render,
+                epoch_sampling=cfg.epoch_sampling,
             )
         return _step_fns[c]
 
@@ -206,6 +235,7 @@ def fit(
         dataset_name=scene.name,
         config_text=str(cfg),
         enable_tensorboard=enable_tensorboard,
+        quiet=not primary,  # console + TB from process 0 only
     )
     start_time = datetime.datetime.now()
 
@@ -235,7 +265,14 @@ def fit(
             jax.random.fold_in(k_val, step),
             viewdirs=jnp.asarray(viewdirs) if viewdirs is not None else None,
         )
-        pred = np.asarray(out.rgb).reshape(*scene.hw, 3)
+        rgb = out.rgb
+        if jax.process_count() > 1:
+            # the render output may be sharded across processes; gather the
+            # global value so every host (and the logging host) sees it
+            from jax.experimental import multihost_utils
+
+            rgb = multihost_utils.process_allgather(rgb, tiled=True)
+        pred = np.asarray(rgb).reshape(*scene.hw, 3)
         val_mse = float(np.mean((pred - val_img) ** 2))
         val_psnr = float(mse_to_psnr(val_mse))
         logger.log_validation(step, val_psnr, pred)
@@ -249,7 +286,8 @@ def fit(
     step = start_step
     try:
         with tqdm(
-            total=num_iters, initial=start_step, desc="Training", unit="it"
+            total=num_iters, initial=start_step, desc="Training", unit="it",
+            disable=not primary,
         ) as pbar:
             pos = start_step
             chunk_idx = 0
@@ -281,14 +319,17 @@ def fit(
                     )
 
                 if step % cfg.save_interval == 0 and 0 < step < num_iters - 1:
-                    path = saver.save(state, cfg.save_path, cfg.model_type, step)
-                    tqdm.write(
-                        f"[{format_elapsed_time(start_time)}] Model saved to "
-                        f"{path} at iteration {step}"
-                    )
+                    with throughput.exclude():
+                        path = saver.save(state, cfg.save_path, cfg.model_type, step)
+                    if primary:
+                        tqdm.write(
+                            f"[{format_elapsed_time(start_time)}] Model saved to "
+                            f"{path} at iteration {step}"
+                        )
 
                 if step % cfg.val_interval == 0 and (step > 0 or cfg.first_step_render):
-                    run_validation(step)
+                    with throughput.exclude():
+                        run_validation(step)
 
                 pos += c
                 pbar.update(c)
@@ -296,14 +337,17 @@ def fit(
         saver.wait()  # durability before the final (blocking) save
         final = save_checkpoint(state, cfg.save_path, cfg.model_type, num_iters)
         elapsed = format_elapsed_time(start_time)
-        tqdm.write(f"[{elapsed}] Training complete!")
-        tqdm.write(f"[{elapsed}] Final model saved to {final}")
+        if primary:
+            tqdm.write(f"[{elapsed}] Training complete!")
+            tqdm.write(f"[{elapsed}] Final model saved to {final}")
     except KeyboardInterrupt:
         elapsed = format_elapsed_time(start_time)
-        print(f"\n[{elapsed}] Keyboard interrupt! Saving current checkpoint...")
+        if primary:
+            print(f"\n[{elapsed}] Keyboard interrupt! Saving current checkpoint...")
         saver.wait()
         path = save_checkpoint(state, cfg.save_path, cfg.model_type, step)
-        print(f"[{elapsed}] Checkpoint saved to {path}. Exiting training.")
+        if primary:
+            print(f"[{elapsed}] Checkpoint saved to {path}. Exiting training.")
     finally:
         saver.close()
         logger.close()

@@ -43,8 +43,15 @@ def save_checkpoint(
 
 def read_metadata(path: str) -> dict:
     path = os.path.abspath(path)
-    # async saves put the meta NEXT to the dir (the dir itself only appears
-    # when Orbax commits); sync saves historically put it inside.
+    # Async saves write the meta NEXT to the dir at dispatch time; the dir
+    # itself only appears when Orbax's background commit completes. A crash
+    # mid-save can therefore leave an orphaned meta file — require the
+    # committed checkpoint directory before trusting the metadata.
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"no committed checkpoint at {path} (an orphaned .meta.json from "
+            "an interrupted async save does not count)"
+        )
     for p in (path + ".meta.json", os.path.join(path, "nerf_tpu_meta.json")):
         if os.path.exists(p):
             with open(p, "r") as f:
@@ -53,6 +60,8 @@ def read_metadata(path: str) -> dict:
 
 
 def _write_meta(path: str, model_type: str, step: int) -> None:
+    if jax.process_index() != 0:
+        return  # Orbax saves are collective; the meta sidecar is process-0's
     with open(path + ".meta.json", "w") as f:
         json.dump({"step": int(step), "model_type": model_type}, f)
 

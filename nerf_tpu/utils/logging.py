@@ -33,11 +33,13 @@ class MetricLogger:
         dataset_name: str = "scene",
         config_text: str = "",
         enable_tensorboard: bool = True,
+        quiet: bool = False,
     ) -> None:
         self.start_time = datetime.datetime.now()
         self.writer = None
         self.log_path = None
-        if log_dir is not None and enable_tensorboard:
+        self.quiet = quiet  # non-primary processes: no console, no TB
+        if log_dir is not None and enable_tensorboard and not quiet:
             timestamp = self.start_time.strftime("%Y-%m-%d_%H-%M-%S")
             self.log_path = os.path.join(
                 log_dir, f"{model_type}_{dataset_name}_{timestamp}"
@@ -76,6 +78,8 @@ class MetricLogger:
             self.writer.add_scalar(tag, float(value), step)
 
     def _write(self, msg: str) -> None:
+        if self.quiet:
+            return
         try:
             from tqdm import tqdm
 
