@@ -118,14 +118,25 @@ def main() -> None:
                                   scan, model_type)
     fast_rps, _ = _measure(step_fn, state, pool, batch_rays, calls, scan, warmup=2)
 
-    value = max(fast_rps, base_rps)
+    # Report the fast path's OWN number: a regression below the pure-JAX
+    # baseline must show up as vs_baseline < 1, never be masked by max().
+    if fast_rps < base_rps:
+        import sys
+
+        print(
+            f"WARNING: fast path ({fast_rps:.0f} rays/s) is SLOWER than the "
+            f"pure-JAX baseline ({base_rps:.0f} rays/s) — regression!",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
                 "metric": "rays_per_sec_per_chip",
-                "value": round(value, 1),
+                "value": round(fast_rps, 1),
                 "unit": "rays/s",
-                "vs_baseline": round(value / base_rps, 3),
+                "vs_baseline": round(fast_rps / base_rps, 3),
+                "fast_rps": round(fast_rps, 1),
+                "base_rps": round(base_rps, 1),
             }
         )
     )
