@@ -60,7 +60,10 @@ class Config:
 
     # --- sampling ---
     num_random_rays: int = 1024
-    chunk_size: int = 8192
+    chunk_size: int = 8192         # reference GPU-memory bound (train.py:44)
+    eval_chunk_size: int = 0       # ray tile for full-image renders; 0 = auto
+                                   # (32768 on TPU — measured fastest, HBM
+                                   # fits it easily — else chunk_size)
     num_samples: int = 256
     num_fine_samples: int = 0      # >0 enables hierarchical coarse/fine
     perturb: bool = True           # stratified jitter on/off (off => bin midpoints? no: lower edges + 0.5)
@@ -88,11 +91,13 @@ class Config:
     log_dir: str = "./logs"
 
     # --- model ---
-    model_type: str = "nerf"       # "nerf" | "siren"
+    model_type: str = "nerf"       # "nerf" | "siren" | "gabor" | "kilonerf"
     hidden_dim: int = 256
     pos_encoding_dim: int = 10     # frequencies L for points
     dir_encoding_dim: int = 4      # frequencies L for directions
     separate_fine_model: bool = True  # independent fine params when hierarchical
+    grid_res: int = 8              # kilonerf: grid_res^3 tiny networks;
+                                   # pair with a small hidden_dim (paper: 32)
 
     # --- eval ---
     num_render_poses: int = 40

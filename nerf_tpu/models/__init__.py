@@ -2,12 +2,15 @@ from nerf_tpu.models.encoding import positional_encoding
 from nerf_tpu.models.nerf import NeRFModel
 from nerf_tpu.models.siren import SirenModel
 from nerf_tpu.models.gabor import GaborModel
+from nerf_tpu.models.kilonerf import KiloNeRFModel
 from nerf_tpu.models.registry import create_model, MODEL_REGISTRY
 
 __all__ = [
     "positional_encoding",
     "NeRFModel",
     "SirenModel",
+    "GaborModel",
+    "KiloNeRFModel",
     "create_model",
     "MODEL_REGISTRY",
 ]

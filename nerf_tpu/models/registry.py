@@ -7,6 +7,7 @@ from __future__ import annotations
 from typing import Callable
 
 from nerf_tpu.models.gabor import GaborModel
+from nerf_tpu.models.kilonerf import KiloNeRFModel
 from nerf_tpu.models.nerf import NeRFModel
 from nerf_tpu.models.siren import SirenModel
 
@@ -14,6 +15,7 @@ MODEL_REGISTRY: dict[str, Callable] = {
     "nerf": NeRFModel,
     "siren": SirenModel,
     "gabor": GaborModel,  # reference roadmap item (notes.txt:3); MFN-Gabor
+    "kilonerf": KiloNeRFModel,  # reference roadmap item (notes.txt:4)
 }
 
 
@@ -36,5 +38,6 @@ def model_from_config(cfg) -> object:
         pos_encoding_dim=cfg.pos_encoding_dim,
         dir_encoding_dim=cfg.dir_encoding_dim,
         compute_dtype=cfg.compute_dtype,
+        grid_res=cfg.grid_res,  # kilonerf only (filtered for other models)
     )
     return create_model(cfg.model_type, **common)
