@@ -19,6 +19,11 @@ Timing notes: steps are chained (state_{i+1} = f(state_i)) and the clock
 stops only after fetching the final step's loss to host — on remote/
 tunneled runtimes `block_until_ready` alone does not guarantee execution
 finished, and independent (unchained) calls can be elided entirely.
+
+Knobs: NERF_TPU_BENCH_MODEL=nerf|siren|gabor|kilonerf,
+NERF_TPU_BENCH_MODE=train (default) | render (full-image eval throughput,
+400x400 hierarchical 64+128), NERF_TPU_BENCH_{RAYS,SAMPLES,ITERS,SCAN,
+DTYPE,HW,FINE,CHUNK}.
 """
 
 from __future__ import annotations
@@ -30,33 +35,44 @@ import time
 import numpy as np
 
 
+def _make_model(model_type: str, compute_dtype: str):
+    from nerf_tpu.models import create_model
+
+    kwargs = {"compute_dtype": compute_dtype}
+    if model_type == "kilonerf":
+        # paper-shaped tiny networks (512 x hidden 32), not the monolithic
+        # 256-wide default the other families share
+        kwargs.update(hidden_dim=32, grid_res=8)
+    return create_model(model_type, **kwargs)
+
+
 def _build(batch_rays: int, num_samples: int, compute_dtype: str,
            use_pallas: bool, steps_per_call: int, model_type: str = "nerf"):
     import jax
     import jax.numpy as jnp
 
     from nerf_tpu.config import Config
-    from nerf_tpu.models import NeRFModel, SirenModel
     from nerf_tpu.render.renderer import RenderSettings
     from nerf_tpu.train.optim import make_optimizer
     from nerf_tpu.train.state import TrainState
     from nerf_tpu.train.step import make_scan_train_step, make_train_step
     from nerf_tpu.data.pipeline import RayPool
 
-    model_cls = SirenModel if model_type == "siren" else NeRFModel
-    model = model_cls(compute_dtype=compute_dtype)
+    model = _make_model(model_type, compute_dtype)
+    num_fine = int(os.environ.get("NERF_TPU_BENCH_FINE", 0))
     settings = RenderSettings(
         near=2.0, far=6.0, num_samples=num_samples, white_background=True,
-        jitter_mode="per_ray",
+        jitter_mode="per_ray", num_fine_samples=num_fine,
     )
     cfg = Config()
     tx = make_optimizer(cfg)
     params = model.init(jax.random.key(0))
+    fine_params = model.init(jax.random.key(3)) if num_fine else {}
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        fine_params={},
-        opt_state=tx.init((params, {})),
+        fine_params=fine_params,
+        opt_state=tx.init((params, fine_params)),
     )
 
     pool_size = 1 << 20
@@ -99,7 +115,60 @@ def _measure(step_fn, state, pool, batch_rays: int, calls: int,
     return batch_rays * steps_per_call * calls / dt, state
 
 
+def _render_mode() -> None:
+    """NERF_TPU_BENCH_MODE=render: full-image (eval) forward throughput at
+    the BENCH_NOTES shape — 400x400, hierarchical 64+128, bf16, auto chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_tpu.config import Config
+    from nerf_tpu.train.loop import render_settings_from_config
+    from nerf_tpu.train.step import make_eval_render
+
+    hw = int(os.environ.get("NERF_TPU_BENCH_HW", 400))
+    model_type = os.environ.get("NERF_TPU_BENCH_MODEL", "nerf")
+    cfg = Config(
+        num_samples=int(os.environ.get("NERF_TPU_BENCH_SAMPLES", 64)),
+        num_fine_samples=int(os.environ.get("NERF_TPU_BENCH_FINE", 128)),
+        eval_chunk_size=int(os.environ.get("NERF_TPU_BENCH_CHUNK", 0)),
+    )
+    model = _make_model(model_type, os.environ.get("NERF_TPU_BENCH_DTYPE",
+                                                   "bfloat16"))
+    settings = render_settings_from_config(cfg)
+    params = model.init(jax.random.key(0))
+    fine_params = model.init(jax.random.key(1))
+    render = make_eval_render(model, settings)
+
+    n = hw * hw
+    rng = np.random.default_rng(0)
+    rays_o = jnp.asarray(rng.normal(scale=0.1, size=(n, 3)), jnp.float32)
+    rd = rng.normal(size=(n, 3))
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rays_d = jnp.asarray(rd, jnp.float32)
+
+    def frame(i):
+        out = render(params, fine_params, rays_o, rays_d, jax.random.key(i))
+        return float(np.asarray(out.rgb[0, 0]))  # host fetch = hard sync
+
+    frame(0)  # compile
+    reps = int(os.environ.get("NERF_TPU_BENCH_ITERS", 5))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        frame(i + 1)
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "metric": "render_rays_per_sec",
+        "value": round(n / dt, 1),
+        "unit": "rays/s",
+        "vs_baseline": round((n / dt) / 201_000.0, 3),  # round-1 BENCH_NOTES
+        "ms_per_frame": round(dt * 1e3, 1),
+    }))
+
+
 def main() -> None:
+    if os.environ.get("NERF_TPU_BENCH_MODE", "train") == "render":
+        _render_mode()
+        return
     batch_rays = int(os.environ.get("NERF_TPU_BENCH_RAYS", 1024))
     num_samples = int(os.environ.get("NERF_TPU_BENCH_SAMPLES", 256))
     calls = int(os.environ.get("NERF_TPU_BENCH_ITERS", 10))

@@ -376,7 +376,11 @@ class FusedSirenRender:
         # the single-kernel train pass holds the same activation set but no
         # separate fwd stage; a larger tile amortizes its fixed costs better
         # (swept: 1536 beats 768 by ~1.5% on v5e bf16)
-        self.tile_points_train = 1536 if bf16 else 512
+        import os
+
+        self.tile_points_train = int(
+            os.environ.get("NERF_TPU_RENDER_TILE_TRAIN", 0)
+        ) or (1536 if bf16 else 512)
         self.interpret = interpret
         self.w0s = tuple([model.w0] + [model.hidden_w0] * (model.num_layers - 1))
         self.sigma_mul, self.rgb_mul = model.sigma_mul, model.rgb_mul
