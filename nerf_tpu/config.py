@@ -98,6 +98,11 @@ class Config:
     separate_fine_model: bool = True  # independent fine params when hierarchical
     grid_res: int = 8              # kilonerf: grid_res^3 tiny networks;
                                    # pair with a small hidden_dim (paper: 32)
+    reference_init: bool = False   # strict parity: torch's raw Linear init,
+                                   # no deterministic density-bias guard
+                                   # (fresh-init distributions then match the
+                                   # reference exactly — including its
+                                   # dead-ReLU coin-flip)
 
     # --- eval ---
     num_render_poses: int = 40

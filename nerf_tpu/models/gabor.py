@@ -73,6 +73,7 @@ class GaborModel:
     alpha: float = 6.0           # gamma-distribution shape for bandwidths
     beta: float = 1.0
     compute_dtype: str = "float32"
+    reference_init: bool = False  # strict parity: skip the density-bias guard
 
     name: str = "gabor"
 
@@ -97,7 +98,8 @@ class GaborModel:
             # MFN linear init: U(-sqrt(1/h), sqrt(1/h)) == torch default; keep
             linears.append(lyr)
         sigma = linear_init(next(keys), h, 1)
-        sigma["b"] = sigma["b"].at[0].set(0.5)  # same dead-ReLU guard
+        if not self.reference_init:
+            sigma["b"] = sigma["b"].at[0].set(0.5)  # same dead-ReLU guard
         return {
             "filters": filters,
             "linears": linears,

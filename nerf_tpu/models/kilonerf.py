@@ -64,6 +64,7 @@ class KiloNeRFModel:
     hidden_dim: int = 32             # per-network width (paper: 32)
     compute_dtype: str = "float32"
     dispatch_tile: int = 128         # points per grouped-matmul tile
+    reference_init: bool = False     # strict parity: skip the density-bias guard
 
     name: str = "kilonerf"
 
@@ -94,7 +95,8 @@ class KiloNeRFModel:
         # Same dead-ReLU guard as the monolithic families (models/nerf.py:53-61)
         # — with G^3 independent density biases a negative draw kills that
         # voxel's gradients forever, visible as grid-aligned holes.
-        params["trunk"]["b"] = params["trunk"]["b"].at[:, -1].set(0.5)
+        if not self.reference_init:
+            params["trunk"]["b"] = params["trunk"]["b"].at[:, -1].set(0.5)
         return params
 
     # ---------------------------------------------------------------- voxels

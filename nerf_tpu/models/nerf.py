@@ -31,6 +31,10 @@ class NeRFModel:
     dir_encoding_dim: int = 4
     hidden_dim: int = 256
     compute_dtype: str = "float32"
+    reference_init: bool = False   # strict parity: keep torch's raw Linear
+                                   # init (skip the dead-ReLU density-bias
+                                   # guard below) so fresh-init parameter
+                                   # distributions match the reference exactly
 
     name: str = "nerf"
 
@@ -54,8 +58,10 @@ class NeRFModel:
         # bias-dominated and nearly constant across points, so a negative draw
         # puts EVERY point on the dead side of the ReLU (models.py:71) and
         # gradients are exactly zero forever. The reference inherits this
-        # coin-flip from torch's Linear init; we remove it deterministically.
-        block2[-1]["b"] = block2[-1]["b"].at[-1].set(0.5)
+        # coin-flip from torch's Linear init; we remove it deterministically
+        # (reference_init=True keeps the coin-flip for strict init parity).
+        if not self.reference_init:
+            block2[-1]["b"] = block2[-1]["b"].at[-1].set(0.5)
         rgb = [
             linear_init(next(keys), h + self.dir_in, h // 2),
             linear_init(next(keys), h // 2, 3),

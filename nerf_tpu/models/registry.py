@@ -39,5 +39,6 @@ def model_from_config(cfg) -> object:
         dir_encoding_dim=cfg.dir_encoding_dim,
         compute_dtype=cfg.compute_dtype,
         grid_res=cfg.grid_res,  # kilonerf only (filtered for other models)
+        reference_init=cfg.reference_init,
     )
     return create_model(cfg.model_type, **common)

@@ -33,6 +33,7 @@ class SirenModel:
     w0: float = 30.0
     hidden_w0: float = 1.0
     compute_dtype: str = "float32"
+    reference_init: bool = False   # strict parity: skip the density-bias guard
 
     name: str = "siren"
 
@@ -52,7 +53,8 @@ class SirenModel:
         # Positive density bias at init — same dead-ReLU guard as NeRFModel
         # (density = relu(linear(base)) * sigma_mul, models.py:192): a
         # negative bias draw would zero all density gradients permanently.
-        sigma["b"] = sigma["b"].at[0].set(0.5)
+        if not self.reference_init:
+            sigma["b"] = sigma["b"].at[0].set(0.5)
         return {
             "base": base,
             "sigma": sigma,

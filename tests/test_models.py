@@ -133,6 +133,30 @@ def test_siren_forward_matches_numpy():
     np.testing.assert_allclose(np.asarray(sigma), want_sigma, atol=2e-4)
 
 
+def test_reference_init_keeps_raw_torch_draw():
+    """reference_init=True skips the deterministic density-bias guard so the
+    fresh-init distribution matches torch's Linear law exactly."""
+    from nerf_tpu.config import Config
+    from nerf_tpu.models.registry import model_from_config
+
+    guarded = NeRFModel().init(jax.random.key(0))
+    assert float(guarded["block2"][-1]["b"][-1]) == 0.5
+    raw = NeRFModel(reference_init=True).init(jax.random.key(0))
+    b = float(raw["block2"][-1]["b"][-1])
+    assert b != 0.5 and abs(b) <= 1 / np.sqrt(256) + 1e-6
+    # everything except the guarded element is identical
+    np.testing.assert_array_equal(
+        np.asarray(raw["block2"][-1]["b"][:-1]),
+        np.asarray(guarded["block2"][-1]["b"][:-1]),
+    )
+
+    s = SirenModel(reference_init=True).init(jax.random.key(0))
+    assert float(s["sigma"]["b"][0]) != 0.5
+
+    cfg = Config(reference_init=True, model_type="nerf")
+    assert model_from_config(cfg).reference_init is True
+
+
 def test_registry():
     assert create_model("NeRF").name == "nerf"
     assert create_model("siren").name == "siren"
