@@ -96,8 +96,10 @@ class Config:
     pos_encoding_dim: int = 10     # frequencies L for points
     dir_encoding_dim: int = 4      # frequencies L for directions
     separate_fine_model: bool = True  # independent fine params when hierarchical
-    grid_res: int = 8              # kilonerf: grid_res^3 tiny networks;
-                                   # pair with a small hidden_dim (paper: 32)
+    grid_res: int = 0              # grid-based families: kilonerf network
+                                   # grid (default 8; pair with hidden_dim
+                                   # 32) / plenoxels voxel grid (default
+                                   # 128). 0 = model's own default.
     reference_init: bool = False   # strict parity: torch's raw Linear init,
                                    # no deterministic density-bias guard
                                    # (fresh-init distributions then match the

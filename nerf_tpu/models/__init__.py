@@ -3,6 +3,8 @@ from nerf_tpu.models.nerf import NeRFModel
 from nerf_tpu.models.siren import SirenModel
 from nerf_tpu.models.gabor import GaborModel
 from nerf_tpu.models.kilonerf import KiloNeRFModel
+from nerf_tpu.models.fastnerf import FastNeRFModel
+from nerf_tpu.models.plenoxels import PlenoxelsModel
 from nerf_tpu.models.registry import create_model, MODEL_REGISTRY
 
 __all__ = [
@@ -11,6 +13,8 @@ __all__ = [
     "SirenModel",
     "GaborModel",
     "KiloNeRFModel",
+    "FastNeRFModel",
+    "PlenoxelsModel",
     "create_model",
     "MODEL_REGISTRY",
 ]

@@ -1,0 +1,117 @@
+"""Plenoxels: a voxel grid of density + spherical harmonics — no neural
+network at all (reference roadmap, /root/reference/notes.txt:8; Fridovich-
+Keil & Yu et al. 2022).
+
+The field is a dense R^3 grid storing per voxel one density channel and
+``(sh_degree+1)^2`` SH coefficients per color channel; a sample point
+trilinearly interpolates its 8 corners, and color is the SH expansion
+evaluated in the view direction:
+
+    sigma(x) = relu( trilinear(grid_sigma, x) )
+    rgb(x,d) = sigmoid( sum_l  SH_l(d) * trilinear(grid_sh, x)_l )
+
+(The original clamps color linearly; sigmoid is this repo's head contract
+— identical at the operating range, strictly monotone, and keeps every
+family interchangeable under the renderer. Documented deviation.)
+
+TPU-native notes: the paper's implementation is a sparse CUDA grid with
+custom kernels; here the grid is dense and the 8-corner stencil is 8 flat
+static-shape gathers (`ops/interp.py::trilinear`), whose VJP — 8
+scatter-adds into the grid — is exactly how plenoxel optimization works
+(gradients only touch corners of occupied samples). Sparsity/pruning is an
+optimization schedule on top (the paper prunes by occupancy), orthogonal
+to the field contract; TV regularization can be added as an extra loss
+over the grid pytree. Coarse-to-fine upsampling is `upsample()` below.
+
+Grid memory: R=128, degree 2 -> 128^3 * 28 f32 = 235 MB — fine in HBM,
+far too big to waste host round-trips on, which the device-resident
+param pytree avoids by construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.ops.interp import trilinear
+
+
+# real SH basis values, degrees 0..2 (the standard 9-term table)
+_C0 = 0.28209479177387814
+_C1 = 0.4886025119029199
+_C2 = (1.0925484305920792, 1.0925484305920792, 0.31539156525252005,
+       1.0925484305920792, 0.5462742152960396)
+
+
+def sh_basis(dirs: jax.Array, degree: int) -> jax.Array:
+    """Real spherical harmonics Y_lm(d) for unit dirs (..., 3) ->
+    (..., (degree+1)^2), degrees 0-2 supported (plenoxels uses 2)."""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    out = [jnp.full_like(x, _C0)]
+    if degree >= 1:
+        out += [-_C1 * y, _C1 * z, -_C1 * x]
+    if degree >= 2:
+        out += [
+            _C2[0] * x * y,
+            -_C2[1] * y * z,
+            _C2[2] * (3.0 * z * z - 1.0),
+            -_C2[3] * x * z,
+            _C2[4] * (x * x - y * y),
+        ]
+    return jnp.stack(out, axis=-1)
+
+
+@dataclass(frozen=True)
+class PlenoxelsModel:
+    grid_res: int = 128
+    sh_degree: int = 2
+    init_sigma: float = 0.1        # small positive so relu passes gradient
+                                   # (the voxel-grid analog of the density-
+                                   # bias guard in models/nerf.py:53-61)
+    compute_dtype: str = "float32"  # grids interpolate in f32 regardless
+    reference_init: bool = False    # strict parity: zero-init density too
+
+    name: str = "plenoxels"
+
+    @property
+    def sh_dim(self) -> int:
+        return (self.sh_degree + 1) ** 2
+
+    @property
+    def channels(self) -> int:
+        return 1 + 3 * self.sh_dim
+
+    def init(self, key: jax.Array) -> dict:
+        del key  # deterministic: grids start uniform (paper init: zeros)
+        r, c = self.grid_res, self.channels
+        grid = jnp.zeros((r, r, r, c), jnp.float32)
+        if not self.reference_init:
+            grid = grid.at[..., 0].set(self.init_sigma)
+        return {"grid": grid}
+
+    def apply(
+        self, params: dict, points: jax.Array, viewdirs: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        """points/viewdirs (..., 3) -> (rgb (..., 3), sigma (...,)).
+        Points pre-normalized to [-1,1] by the renderer."""
+        shape = points.shape[:-1]
+        p = points.reshape(-1, 3)
+        d = viewdirs.reshape(-1, 3)
+        vals = trilinear(params["grid"], p)              # (N, C)
+        sigma = jax.nn.relu(vals[:, 0])
+        sh = vals[:, 1:].reshape(-1, 3, self.sh_dim)     # (N, 3, L)
+        basis = sh_basis(d, self.sh_degree)              # (N, L)
+        rgb = jax.nn.sigmoid(jnp.einsum("ncl,nl->nc", sh, basis))
+        return rgb.reshape(*shape, 3), sigma.reshape(shape)
+
+    def upsample(self, params: dict, new_res: int) -> dict:
+        """Coarse-to-fine: trilinearly resample the grid to ``new_res``
+        (the paper's 256^3-from-128^3 schedule)."""
+        lin = jnp.linspace(-1.0, 1.0, new_res, dtype=jnp.float32)
+        pts = jnp.stack(jnp.meshgrid(lin, lin, lin, indexing="ij"),
+                        axis=-1).reshape(-1, 3)
+        vals = trilinear(params["grid"], pts)
+        return {"grid": vals.reshape(new_res, new_res, new_res,
+                                     self.channels)}

@@ -6,9 +6,11 @@ from __future__ import annotations
 
 from typing import Callable
 
+from nerf_tpu.models.fastnerf import FastNeRFModel
 from nerf_tpu.models.gabor import GaborModel
 from nerf_tpu.models.kilonerf import KiloNeRFModel
 from nerf_tpu.models.nerf import NeRFModel
+from nerf_tpu.models.plenoxels import PlenoxelsModel
 from nerf_tpu.models.siren import SirenModel
 
 MODEL_REGISTRY: dict[str, Callable] = {
@@ -16,6 +18,8 @@ MODEL_REGISTRY: dict[str, Callable] = {
     "siren": SirenModel,
     "gabor": GaborModel,  # reference roadmap item (notes.txt:3); MFN-Gabor
     "kilonerf": KiloNeRFModel,  # reference roadmap item (notes.txt:4)
+    "fastnerf": FastNeRFModel,  # reference roadmap item (notes.txt:5)
+    "plenoxels": PlenoxelsModel,  # reference roadmap item (notes.txt:8)
 }
 
 
@@ -38,7 +42,8 @@ def model_from_config(cfg) -> object:
         pos_encoding_dim=cfg.pos_encoding_dim,
         dir_encoding_dim=cfg.dir_encoding_dim,
         compute_dtype=cfg.compute_dtype,
-        grid_res=cfg.grid_res,  # kilonerf only (filtered for other models)
         reference_init=cfg.reference_init,
     )
+    if cfg.grid_res > 0:  # grid families keep their own default otherwise
+        common["grid_res"] = cfg.grid_res
     return create_model(cfg.model_type, **common)

@@ -164,7 +164,7 @@ def test_registry():
     import pytest
 
     with pytest.raises(ValueError, match="Invalid model type"):
-        create_model("plenoxels")
+        create_model("mipnerf360")
 
 
 class TestGaborModel:
