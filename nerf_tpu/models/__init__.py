@@ -5,6 +5,7 @@ from nerf_tpu.models.gabor import GaborModel
 from nerf_tpu.models.kilonerf import KiloNeRFModel
 from nerf_tpu.models.fastnerf import FastNeRFModel
 from nerf_tpu.models.plenoxels import PlenoxelsModel
+from nerf_tpu.models.ngp import NGPModel
 from nerf_tpu.models.registry import create_model, MODEL_REGISTRY
 
 __all__ = [
@@ -15,6 +16,7 @@ __all__ = [
     "KiloNeRFModel",
     "FastNeRFModel",
     "PlenoxelsModel",
+    "NGPModel",
     "create_model",
     "MODEL_REGISTRY",
 ]

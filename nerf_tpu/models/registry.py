@@ -10,6 +10,7 @@ from nerf_tpu.models.fastnerf import FastNeRFModel
 from nerf_tpu.models.gabor import GaborModel
 from nerf_tpu.models.kilonerf import KiloNeRFModel
 from nerf_tpu.models.nerf import NeRFModel
+from nerf_tpu.models.ngp import NGPModel
 from nerf_tpu.models.plenoxels import PlenoxelsModel
 from nerf_tpu.models.siren import SirenModel
 
@@ -19,6 +20,7 @@ MODEL_REGISTRY: dict[str, Callable] = {
     "gabor": GaborModel,  # reference roadmap item (notes.txt:3); MFN-Gabor
     "kilonerf": KiloNeRFModel,  # reference roadmap item (notes.txt:4)
     "fastnerf": FastNeRFModel,  # reference roadmap item (notes.txt:5)
+    "ngp": NGPModel,  # reference roadmap item (notes.txt:7); Instant NGP
     "plenoxels": PlenoxelsModel,  # reference roadmap item (notes.txt:8)
 }
 
