@@ -6,6 +6,7 @@ from nerf_tpu.models.kilonerf import KiloNeRFModel
 from nerf_tpu.models.fastnerf import FastNeRFModel
 from nerf_tpu.models.plenoxels import PlenoxelsModel
 from nerf_tpu.models.ngp import NGPModel
+from nerf_tpu.models.plenoctree import PlenOctreeModel
 from nerf_tpu.models.registry import create_model, MODEL_REGISTRY
 
 __all__ = [
@@ -17,6 +18,7 @@ __all__ = [
     "FastNeRFModel",
     "PlenoxelsModel",
     "NGPModel",
+    "PlenOctreeModel",
     "create_model",
     "MODEL_REGISTRY",
 ]

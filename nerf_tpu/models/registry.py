@@ -11,6 +11,7 @@ from nerf_tpu.models.gabor import GaborModel
 from nerf_tpu.models.kilonerf import KiloNeRFModel
 from nerf_tpu.models.nerf import NeRFModel
 from nerf_tpu.models.ngp import NGPModel
+from nerf_tpu.models.plenoctree import PlenOctreeModel
 from nerf_tpu.models.plenoxels import PlenoxelsModel
 from nerf_tpu.models.siren import SirenModel
 
@@ -20,6 +21,7 @@ MODEL_REGISTRY: dict[str, Callable] = {
     "gabor": GaborModel,  # reference roadmap item (notes.txt:3); MFN-Gabor
     "kilonerf": KiloNeRFModel,  # reference roadmap item (notes.txt:4)
     "fastnerf": FastNeRFModel,  # reference roadmap item (notes.txt:5)
+    "plenoctree": PlenOctreeModel,  # reference roadmap item (notes.txt:6)
     "ngp": NGPModel,  # reference roadmap item (notes.txt:7); Instant NGP
     "plenoxels": PlenoxelsModel,  # reference roadmap item (notes.txt:8)
 }
