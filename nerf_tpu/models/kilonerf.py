@@ -56,6 +56,42 @@ def _batched_linear_init(key: jax.Array, g: int, in_dim: int, out_dim: int) -> d
     return init(jax.random.split(key, g))
 
 
+def build_dispatch(vid: jax.Array, g3: int, t: int):
+    """Static-shape grouped-dispatch plan for ``n`` points over ``g3``
+    networks with tile size ``t`` (see class docstring). Shared by the
+    XLA grouped path and the Pallas grouped kernel.
+
+    Returns (order, gid, src, valid, counts):
+      order (n,)        stable sort of points by network id
+      gid (num_tiles,)  which network each tile serves
+      src (num_tiles,t) row into the SORTED array (or n = dummy) per slot
+      valid (num_tiles,t)
+      counts (g3,)      points per network
+    with num_tiles = ceil(n/t) + g3 (static upper bound; surplus tiles are
+    pure padding on the last group with zero valid slots).
+    """
+    n = vid.shape[0]
+    order = jnp.argsort(vid)                     # stable (ties by index)
+    svid = vid[order]
+    starts = jnp.searchsorted(
+        svid, jnp.arange(g3, dtype=svid.dtype), side="left"
+    )
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), n, starts.dtype)])
+    counts = ends - starts
+
+    num_tiles = -(-n // t) + g3
+    tpg = -(-counts // t)                        # tiles per group
+    tile_end = jnp.cumsum(tpg)
+    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
+    gid = jnp.searchsorted(tile_end, tiles, side="right")
+    gid = jnp.minimum(gid, g3 - 1).astype(jnp.int32)
+    tile_rank = tiles - (tile_end[gid] - tpg[gid])
+    slot = tile_rank[:, None] * t + jnp.arange(t, dtype=jnp.int32)[None, :]
+    valid = slot < counts[gid][:, None]
+    src = jnp.where(valid, starts[gid][:, None] + slot, n)
+    return order, gid, src, valid, counts
+
+
 @dataclass(frozen=True)
 class KiloNeRFModel:
     grid_res: int = 8                # G: G^3 tiny networks
@@ -185,29 +221,8 @@ class KiloNeRFModel:
         cdt = jnp.dtype(self.compute_dtype)
 
         vid, local = self.voxel_of(p)
-
-        # --- group by network: one stable 32-bit sort ---
-        order = jnp.argsort(vid)                     # stable (ties by index)
-        svid = vid[order]
-        starts = jnp.searchsorted(
-            svid, jnp.arange(g3, dtype=svid.dtype), side="left"
-        )
-        ends = jnp.concatenate([starts[1:], jnp.full((1,), n, starts.dtype)])
-        counts = ends - starts                       # (G^3,)
-
-        # --- static tile map: ceil(n/t) data tiles + up to g3 partials ---
-        num_tiles = -(-n // t) + g3
-        tpg = -(-counts // t)                        # tiles per group
-        tile_end = jnp.cumsum(tpg)                   # (G^3,)
-        tiles = jnp.arange(num_tiles, dtype=jnp.int32)
-        # gid[j]: which group tile j serves (tiles beyond sum(tpg) land on
-        # the last group with zero valid slots — pure padding compute)
-        gid = jnp.searchsorted(tile_end, tiles, side="right")
-        gid = jnp.minimum(gid, g3 - 1).astype(jnp.int32)
-        tile_rank = tiles - (tile_end[gid] - tpg[gid])
-        slot = tile_rank[:, None] * t + jnp.arange(t, dtype=jnp.int32)[None, :]
-        valid = slot < counts[gid][:, None]          # (tiles, T)
-        src = jnp.where(valid, starts[gid][:, None] + slot, n)  # n = dummy row
+        order, gid, src, valid, _ = build_dispatch(vid, g3, t)
+        num_tiles = src.shape[0]
 
         # --- gather inputs once, encode in tile layout ---
         def pad1(x):

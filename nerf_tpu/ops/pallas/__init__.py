@@ -46,6 +46,14 @@ def get_fused_apply(model):
         from nerf_tpu.ops.pallas.fused_siren import make_fused_siren_apply
 
         return make_fused_siren_apply(model, **_tile_overrides())
+    from nerf_tpu.models.kilonerf import KiloNeRFModel
+
+    if isinstance(model, KiloNeRFModel):
+        from nerf_tpu.ops.pallas.fused_kilonerf import (
+            make_fused_kilonerf_apply,
+        )
+
+        return make_fused_kilonerf_apply(model, **_tile_overrides())
     return None
 
 

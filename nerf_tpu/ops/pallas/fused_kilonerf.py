@@ -1,0 +1,437 @@
+"""Fused KiloNeRF field evaluation: grouped-matmul Pallas TPU kernels.
+
+KiloNeRF is thousands of tiny per-voxel MLPs (models/kilonerf.py). The XLA
+grouped path materializes per-tile weight gathers and (tiles, T, h)
+activations in HBM and its backward pays scatter-adds for every layer —
+measured 36 ms per 262k-point fwd+bwd on v5e (tools/dissect_kilonerf.py),
+30 ms of which is dispatch overhead, not math.
+
+These kernels make the expert dispatch a DMA pattern instead of data
+movement through HBM tensors:
+
+  * the grid is one step per point tile; a scalar-prefetched ``gid`` array
+    (from models/kilonerf.py::build_dispatch) tells the BlockSpecs which
+    expert's weights to DMA for tile ``i``;
+  * an expert's ENTIRE parameter set travels as ONE sublane-packed
+    (rows, h) block — matrices stacked along sublanes at 8-aligned offsets,
+    biases collected into a single trailing (8, h) region — so a grid step
+    costs one weight DMA, not thirteen. Tiles of the same expert are
+    consecutive (group-major plan), so Mosaic re-DMAs nothing between them.
+    Tiny-DMA latency was the measured limiter of the 13-array variant
+    (44 ms at T=256, and LARGER tiles made it worse as padding compute
+    grew: 52/68 ms at T=512/1024);
+  * the whole 5-matmul tiny-MLP chain (encode -> l1 -> l2 -> trunk ->
+    rgb head) runs in VMEM per tile; only (T, 8) inputs/outputs touch HBM;
+  * the backward kernel recomputes the tile forward (the FLOPs are
+    trivial) and accumulates the expert's packed gradient block IN VMEM
+    across its consecutive tile run: zero-initialized on the expert's
+    first tile, spilled to HBM exactly once when the block index moves on.
+    Experts with no points are never visited — the wrapper masks their
+    (uninitialized) gradient blocks to zero;
+  * the dispatch plan's surplus tiles (static bound ceil(n/T) + G^3) are
+    skipped entirely via a prefetched used-tile count, and the
+    slot<->point bijection makes BOTH reorder directions gathers (no
+    scatter-add ever appears in the VJP).
+
+Numerics match ``KiloNeRFModel.apply_pointwise`` (the numerical reference
+tier); parity is pinned in tests/test_fused_kilonerf.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerf_tpu.ops.pallas.fused_nerf import (
+    _enc_consts,
+    _encode,
+    _matmul_precision,
+    _mm,
+    _round_up,
+)
+
+# Sublane-packed expert layout: matrix rows stacked at 8-aligned offsets,
+# then one (8, h) "extras" region holding the row vectors.
+_EXTRA_ROWS = ("wts", "b1", "b2", "btf", "br1", "br2", "bts")
+
+
+def _layout(h: int, p_pad: int, d_pad: int):
+    mats = (("w1", p_pad), ("w2", h), ("wtf", h), ("wr1f", h),
+            ("wr1d", d_pad), ("wr2", h))
+    offs, row = {}, 0
+    for name, rows in mats:
+        offs[name] = (row, rows)
+        row += rows
+    offs["extras"] = (row, 8)
+    return offs, row + 8
+
+
+def pack_params(params: dict, p_pad: int, d_pad: int, h: int) -> jax.Array:
+    """KiloNeRFModel pytree -> one (G^3, R, h) float32 block per expert
+    (the compute-dtype cast happens once per call inside the vjp)."""
+    g = params["l1"]["w"].shape[0]
+    offs, total = _layout(h, p_pad, d_pad)
+
+    def rows(w, r):
+        return jnp.pad(w, ((0, 0), (0, r - w.shape[1]), (0, 0)))
+
+    wt = params["trunk"]["w"]                     # (G, h, h+1)
+    wr1 = params["rgb1"]["w"]                     # (G, h + real_d, h)
+    mats = [
+        rows(params["l1"]["w"], p_pad),
+        params["l2"]["w"],
+        wt[:, :, :h],
+        wr1[:, :h],
+        rows(wr1[:, h:], d_pad),
+        jnp.pad(params["rgb2"]["w"], ((0, 0), (0, 0), (0, h - 3))),
+    ]
+    pad_cols = lambda v: jnp.pad(v, ((0, 0), (0, h - v.shape[1])))
+    extras = jnp.stack(
+        [
+            wt[:, :, h],                          # wts (G, h)
+            params["l1"]["b"],
+            params["l2"]["b"],
+            params["trunk"]["b"][:, :h],          # btf
+            params["rgb1"]["b"],
+            pad_cols(params["rgb2"]["b"]),        # br2
+            pad_cols(params["trunk"]["b"][:, h:]),  # bts
+            jnp.zeros((g, h), jnp.float32),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate(mats + [extras], axis=1)
+
+
+def _pieces(w, h, p_pad, d_pad):
+    """Static sublane slices of one expert's packed (R, h) block."""
+    offs, _ = _layout(h, p_pad, d_pad)
+
+    def mat(name):
+        r0, r = offs[name]
+        return w[r0:r0 + r]
+
+    e0 = offs["extras"][0]
+    extras = w[e0:e0 + 8]
+    row = lambda i: extras[i:i + 1]
+    return dict(
+        w1=mat("w1"), w2=mat("w2"), wtf=mat("wtf"), wr1f=mat("wr1f"),
+        wr1d=mat("wr1d"), wr2=mat("wr2"),
+        wts=row(0), b1=row(1), b2=row(2), btf=row(3), br1=row(4),
+        br2=row(5), bts=row(6),
+    )
+
+
+def _forward_tile(loc8, dirs8, w, enc_p, enc_d, cdt):
+    """The tiny-MLP chain for one tile whose points all share one expert."""
+    penc = _encode(loc8, *enc_p)
+    denc = _encode(dirs8, *enc_d)
+    x1 = jax.nn.relu(_mm(penc, w["w1"], cdt) + w["b1"])
+    x2 = jax.nn.relu(_mm(x1, w["w2"], cdt) + w["b2"])
+    sigma_pre = (
+        jnp.sum(x2 * w["wts"].astype(jnp.float32), axis=1, keepdims=True)
+        + w["bts"][:, :1]
+    )
+    sigma = jax.nn.relu(sigma_pre)
+    feat = _mm(x2, w["wtf"], cdt) + w["btf"]
+    y = jax.nn.relu(
+        _mm(feat, w["wr1f"], cdt) + _mm(denc, w["wr1d"], cdt) + w["br1"]
+    )
+    # wr2 is column-padded to h; only the first 3 rgb columns are real
+    rgb8 = jax.nn.sigmoid(_mm(y, w["wr2"], cdt) + w["br2"])
+    return dict(penc=penc, denc=denc, x1=x1, x2=x2, sigma_pre=sigma_pre,
+                feat=feat, y=y, rgb8=rgb8), sigma
+
+
+def _fwd_kernel(gid_ref, used_ref, loc_ref, dirs_ref, *refs,
+                cdt, h, p_pad, d_pad):
+    enc_refs, w_ref, out_ref = refs[:8], refs[8], refs[9]
+    i = pl.program_id(0)
+
+    @pl.when(i < used_ref[0])
+    def _body():
+        enc_p = tuple(r[:] for r in enc_refs[:4])
+        enc_d = tuple(r[:] for r in enc_refs[4:])
+        w = _pieces(w_ref[0], h, p_pad, d_pad)
+        acts, sigma = _forward_tile(loc_ref[:], dirs_ref[:], w,
+                                    enc_p, enc_d, cdt)
+        tile = loc_ref.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile, 8), 1)
+        packed = jnp.where(col == 3, sigma, acts["rgb8"][:, :8])
+        out_ref[:] = jnp.where(col > 3, 0.0, packed)
+
+
+def _bwd_kernel(gid_ref, used_ref, loc_ref, dirs_ref, g_ref, *refs,
+                cdt, h, p_pad, d_pad):
+    enc_refs, w_ref, acc_ref = refs[:8], refs[8], refs[9]
+    prec = _matmul_precision(cdt)
+    offs, _ = _layout(h, p_pad, d_pad)
+    i = pl.program_id(0)
+    prev = gid_ref[jnp.maximum(i - 1, 0)]
+    first_of_group = jnp.logical_or(i == 0, gid_ref[i] != prev)
+
+    @pl.when(jnp.logical_and(first_of_group, i < used_ref[0]))
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i < used_ref[0])
+    def _body():
+        enc_p = tuple(r[:] for r in enc_refs[:4])
+        enc_d = tuple(r[:] for r in enc_refs[4:])
+        w = _pieces(w_ref[0], h, p_pad, d_pad)
+        loc8, dirs8, g = loc_ref[:], dirs_ref[:], g_ref[:]
+        acts, _ = _forward_tile(loc8, dirs8, w, enc_p, enc_d, cdt)
+
+        tile = loc8.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile, 8), 1)
+        g_rgb8 = jnp.where(col < 3, g, 0.0)
+        g_sigma = jnp.sum(jnp.where(col == 3, g, 0.0), axis=1, keepdims=True)
+        g_rgb = jnp.pad(g_rgb8[:, :8], ((0, 0), (0, h - 8))) \
+            if h > 8 else g_rgb8[:, :h]
+
+        def mmT(a, dz):
+            return jax.lax.dot_general(
+                a.astype(cdt), dz.astype(cdt),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+        def dact(dz, wname):
+            return jax.lax.dot_general(
+                dz.astype(cdt), w[wname],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+        def acc_mat(name, val):
+            r0, _ = offs[name]
+            acc_ref[0, r0:r0 + val.shape[0]] += val
+
+        def acc_row(idx, dz):
+            s = jnp.sum(dz, axis=0, keepdims=True)
+            if s.shape[1] < h:
+                s = jnp.pad(s, ((0, 0), (0, h - s.shape[1])))
+            acc_ref[0, offs["extras"][0] + idx:offs["extras"][0] + idx + 1] += s
+
+        rgb8 = acts["rgb8"]
+        dzr2 = g_rgb * rgb8 * (1.0 - rgb8)
+        acc_mat("wr2", mmT(acts["y"], dzr2))
+        acc_row(5, dzr2)
+        dy = dact(dzr2, "wr2")
+
+        dzy = dy * (acts["y"] > 0)
+        acc_mat("wr1f", mmT(acts["feat"], dzy))
+        acc_mat("wr1d", mmT(acts["denc"], dzy))
+        acc_row(4, dzy)
+        dfeat = dact(dzy, "wr1f")
+
+        dsig = g_sigma * (acts["sigma_pre"] > 0)
+        acc_mat("wtf", mmT(acts["x2"], dfeat))
+        acc_row(3, dfeat)
+        acc_row(0, acts["x2"] * dsig)   # wts grad: sum over the tile
+        acc_row(6, dsig)
+
+        dx2 = dact(dfeat, "wtf") + dsig * w["wts"].astype(jnp.float32)
+        dz2 = dx2 * (acts["x2"] > 0)
+        acc_mat("w2", mmT(acts["x1"], dz2))
+        acc_row(2, dz2)
+        dx1 = dact(dz2, "w2")
+
+        dz1 = dx1 * (acts["x1"] > 0)
+        acc_mat("w1", mmT(acts["penc"], dz1))
+        acc_row(1, dz1)
+
+
+def make_fused_kilonerf_apply(model, tile_fwd: int = 256, tile_bwd: int = 256,
+                              interpret: bool = False):
+    """Drop-in ``apply(params, points, dirs) -> (rgb, sigma)`` for
+    KiloNeRFModel backed by the grouped kernels, or None when unsupported.
+
+    ``tile_fwd``/``tile_bwd`` are points per grid step; they must be equal
+    (one dispatch plan serves both passes). Smaller tiles waste fewer
+    padded slots on partial groups; bigger ones amortize per-step cost —
+    the padding tiles themselves are compute-skipped either way.
+    """
+    if model.hidden_dim > 128 or model.hidden_dim % 8 or model.hidden_dim < 8:
+        return None
+    if tile_fwd != tile_bwd:
+        raise ValueError("grouped dispatch uses one tile size for both passes")
+    t = tile_fwd
+    h = model.hidden_dim
+    g3 = model.num_networks
+    real_p = 3 * (1 + 2 * model.pos_encoding_dim)
+    real_d = 3 * (1 + 2 * model.dir_encoding_dim)
+    p_pad = _round_up(real_p, 8)
+    d_pad = _round_up(real_d, 8)
+    cdt = jnp.dtype(model.compute_dtype)
+    _, pack_rows = _layout(h, p_pad, d_pad)
+
+    def enc8(num_freqs, pad):
+        e, s, phase, mask = _enc_consts(num_freqs, 3, pad)
+        pad8 = lambda a: np.pad(a, ((0, 5), (0, 0)))  # 3 rows -> 8 sublanes
+        return (jnp.asarray(pad8(e)), jnp.asarray(pad8(s)),
+                jnp.asarray(phase[None, :]), jnp.asarray(mask[None, :]))
+
+    enc_args = enc8(model.pos_encoding_dim, p_pad) \
+        + enc8(model.dir_encoding_dim, d_pad)
+    enc_specs = [
+        pl.BlockSpec(a.shape, lambda i, gid, used: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for a in enc_args
+    ]
+
+    def row_spec(width):
+        return pl.BlockSpec((t, width), lambda i, gid, used: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    pack_spec = pl.BlockSpec((1, pack_rows, h),
+                             lambda i, gid, used: (gid[i], 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    comp = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+    mm_cols = p_pad * h + h * h + h * (h + 1) + (h + d_pad) * h + h * h
+    kargs = dict(cdt=cdt, h=h, p_pad=p_pad, d_pad=d_pad)
+
+    def _run_fwd(wc, gid, used, loc8, dirs8):
+        nt = loc8.shape[0]
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, **kargs),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(nt // t,),
+                in_specs=[row_spec(8), row_spec(8)] + enc_specs + [pack_spec],
+                out_specs=row_spec(8),
+            ),
+            out_shape=jax.ShapeDtypeStruct((nt, 8), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * nt * mm_cols,
+                bytes_accessed=nt * 24 * 4,
+                transcendentals=nt * (p_pad + d_pad + 8),
+            ),
+            compiler_params=comp,
+            interpret=interpret,
+        )(gid, used, loc8, dirs8, *enc_args, wc)
+
+    @jax.custom_vjp
+    def fused(wpack, gid, used, loc8, dirs8):
+        return _run_fwd(wpack.astype(cdt), gid, used, loc8, dirs8)
+
+    def fused_fwd(wpack, gid, used, loc8, dirs8):
+        wc = wpack.astype(cdt)
+        return _run_fwd(wc, gid, used, loc8, dirs8), (wc, gid, used, loc8, dirs8)
+
+    def fused_bwd(res, g):
+        wc, gid, used, loc8, dirs8 = res
+        nt = loc8.shape[0]
+        gpack = pl.pallas_call(
+            functools.partial(_bwd_kernel, **kargs),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(nt // t,),
+                in_specs=[row_spec(8), row_spec(8), row_spec(8)]
+                + enc_specs + [pack_spec],
+                out_specs=pack_spec,
+            ),
+            out_shape=jax.ShapeDtypeStruct((g3, pack_rows, h), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=3 * 2 * nt * mm_cols,
+                bytes_accessed=nt * 32 * 4,
+                transcendentals=nt * (p_pad + d_pad + 8),
+            ),
+            compiler_params=comp,
+            interpret=interpret,
+        )(gid, used, loc8, dirs8, g, *enc_args, wc)
+        f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+        return (gpack, f0(gid), f0(used),
+                jnp.zeros_like(loc8), jnp.zeros_like(dirs8))
+
+    fused.defvjp(fused_fwd, fused_bwd)
+
+    from nerf_tpu.models.kilonerf import build_dispatch
+
+    def apply(params, points, viewdirs):
+        shape = points.shape[:-1]
+        p = points.reshape(-1, 3)
+        d = viewdirs.reshape(-1, 3)
+        n = p.shape[0]
+        vid, local = model.voxel_of(p)
+        order, gid, src, valid, counts = build_dispatch(vid, g3, t)
+        used = jnp.sum(-(-counts // t)).astype(jnp.int32)[None]
+
+        # tile slot -> original point index (n = dummy for padded slots);
+        # ONE gather builds each tile-layout input from the original order
+        orig_flat = jnp.where(
+            valid.reshape(-1),
+            jnp.concatenate(
+                [order.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
+            )[src.reshape(-1)],
+            n,
+        )
+
+        def to_tiles(x):
+            xs = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)])
+            return jnp.pad(xs[orig_flat], ((0, 0), (0, 5)))
+
+        loc_t = to_tiles(local)
+        dir_t = to_tiles(d)
+
+        wpack = pack_params(params, p_pad, d_pad, h)
+        # zero the gradient blocks of experts no tile visited (their HBM
+        # output blocks are never written by the backward kernel)
+        wpack = _mask_untouched(wpack, counts > 0)
+        out_t = fused(wpack, gid, used, loc_t, dir_t)
+        out = _reorder(out_t, orig_flat, n)
+        rgb = out[:, :3].reshape(*shape, 3)
+        sigma = out[:, 3].reshape(shape)
+        return rgb, sigma
+
+    return apply
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _reorder(out_t, orig_flat, n):
+    """Tile layout -> original point order. The slot<->point map is a
+    bijection over valid slots, so BOTH directions are gathers — the
+    default gather-VJP scatter-add (slow on TPU) never appears."""
+    inv = jnp.zeros((n + 1,), jnp.int32).at[orig_flat].set(
+        jnp.arange(orig_flat.shape[0], dtype=jnp.int32)
+    )[:n]
+    return out_t[inv]
+
+
+def _reorder_fwd(out_t, orig_flat, n):
+    return _reorder(out_t, orig_flat, n), orig_flat
+
+
+def _reorder_bwd(n, orig_flat, g):
+    g_pad = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
+    return (g_pad[orig_flat],
+            np.zeros(orig_flat.shape, dtype=jax.dtypes.float0))
+
+
+_reorder.defvjp(_reorder_fwd, _reorder_bwd)
+
+
+@jax.custom_vjp
+def _mask_untouched(w, touched):
+    return w
+
+
+def _mask_untouched_fwd(w, touched):
+    return w, touched
+
+
+def _mask_untouched_bwd(touched, g):
+    tm = touched.reshape((-1,) + (1,) * (g.ndim - 1))
+    return (jnp.where(tm, g, 0.0),
+            np.zeros(touched.shape, dtype=jax.dtypes.float0))
+
+
+_mask_untouched.defvjp(_mask_untouched_fwd, _mask_untouched_bwd)

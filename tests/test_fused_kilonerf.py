@@ -1,0 +1,127 @@
+"""Grouped-matmul Pallas kernels for KiloNeRF (ops/pallas/fused_kilonerf.py)
+against the pointwise numerical reference, in interpret mode on CPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.models.kilonerf import KiloNeRFModel
+from nerf_tpu.ops.pallas.fused_kilonerf import make_fused_kilonerf_apply
+
+
+def _model(**kw):
+    kw.setdefault("grid_res", 3)
+    kw.setdefault("hidden_dim", 16)
+    kw.setdefault("pos_encoding_dim", 4)
+    kw.setdefault("dir_encoding_dim", 2)
+    return KiloNeRFModel(**kw)
+
+
+def _data(n, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = jnp.asarray(rng.uniform(-1, 1, (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    return pts, jnp.asarray(d, jnp.float32)
+
+
+def test_forward_parity():
+    model = _model()
+    params = model.init(jax.random.key(0))
+    fused = make_fused_kilonerf_apply(model, tile_fwd=16, tile_bwd=16,
+                                      interpret=True)
+    pts, dirs = _data(100)
+    rgb_f, sigma_f = fused(params, pts, dirs)
+    rgb_r, sigma_r = model.apply_pointwise(params, pts, dirs)
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sigma_f), np.asarray(sigma_r),
+                               atol=1e-4)
+
+
+def test_forward_parity_skewed():
+    """All points in one voxel — one expert's tiles dominate the plan."""
+    model = _model()
+    params = model.init(jax.random.key(1))
+    fused = make_fused_kilonerf_apply(model, tile_fwd=8, tile_bwd=8,
+                                      interpret=True)
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.uniform(-0.99, -0.68, (50, 3)), jnp.float32)
+    _, dirs = _data(50, seed=1)
+    rgb_f, sigma_f = fused(params, pts, dirs)
+    rgb_r, sigma_r = model.apply_pointwise(params, pts, dirs)
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sigma_f), np.asarray(sigma_r),
+                               atol=1e-4)
+
+
+def test_gradient_parity():
+    """dL/dparams through the grouped kernels matches autodiff through the
+    pointwise reference — including zero grads for untouched experts."""
+    model = _model()
+    params = model.init(jax.random.key(2))
+    fused = make_fused_kilonerf_apply(model, tile_fwd=16, tile_bwd=16,
+                                      interpret=True)
+    rng = np.random.default_rng(2)
+    # leave some voxels empty on purpose
+    pts = jnp.asarray(rng.uniform(-1, 0.2, (60, 3)), jnp.float32)
+    _, dirs = _data(60, seed=2)
+    tgt = jnp.asarray(rng.uniform(size=(60, 3)), jnp.float32)
+
+    def loss(apply_fn):
+        def f(pr):
+            rgb, sigma = apply_fn(pr, pts, dirs)
+            return jnp.mean((rgb - tgt) ** 2) + 1e-3 * jnp.mean(sigma)
+
+        return f
+
+    g_f = jax.grad(loss(fused))(params)
+    g_r = jax.grad(loss(model.apply_pointwise))(params)
+    flat_f = jax.tree_util.tree_leaves_with_path(g_f)
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(g_r))
+    for path, leaf in flat_f:
+        want = flat_r[path]
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(want), atol=5e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    # untouched experts really get zero (not garbage) gradients
+    vid, _ = model.voxel_of(pts)
+    touched = np.zeros(model.num_networks, bool)
+    touched[np.asarray(vid)] = True
+    assert not touched.all()  # the test actually exercises the masking
+    g1 = np.asarray(g_f["l1"]["w"])
+    assert np.all(g1[~touched] == 0.0)
+    assert np.any(g1[touched] != 0.0)
+
+
+def test_train_step_with_fused_kernel():
+    """End-to-end: the fused apply drives make_train_step and converges."""
+    from nerf_tpu.config import Config
+    from nerf_tpu.data.pipeline import RayPool
+    from nerf_tpu.render.renderer import RenderSettings
+    from nerf_tpu.train.optim import make_optimizer
+    from nerf_tpu.train.state import TrainState
+    from nerf_tpu.train.step import make_train_step
+
+    model = _model()
+    fused = make_fused_kilonerf_apply(model, tile_fwd=32, tile_bwd=32,
+                                      interpret=True)
+    cfg = Config()
+    tx = make_optimizer(cfg)
+    params = model.init(jax.random.key(0))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       fine_params={}, opt_state=tx.init((params, {})))
+    k = jax.random.key(1)
+    rd = jax.random.normal(k, (256, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    pool = RayPool(rays_o=jax.random.normal(k, (256, 3)) * 0.1, rays_d=rd,
+                   rgb=jax.random.uniform(k, (256, 3)), viewdirs=rd)
+    settings = RenderSettings(near=2.0, far=6.0, num_samples=4)
+    step = make_train_step(model, tx, settings, 32, jax.random.key(2),
+                           use_pallas=False, donate=False, apply_fn=fused)
+    losses = []
+    for _ in range(20):
+        state, m = step(state, pool)
+        losses.append(float(m["mse"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
