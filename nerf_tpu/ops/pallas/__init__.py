@@ -46,6 +46,12 @@ def get_fused_apply(model):
         from nerf_tpu.ops.pallas.fused_siren import make_fused_siren_apply
 
         return make_fused_siren_apply(model, **_tile_overrides())
+    from nerf_tpu.models.gabor import GaborModel
+
+    if isinstance(model, GaborModel):
+        from nerf_tpu.ops.pallas.fused_gabor import make_fused_gabor_apply
+
+        return make_fused_gabor_apply(model, **_tile_overrides())
     from nerf_tpu.models.kilonerf import KiloNeRFModel
 
     if isinstance(model, KiloNeRFModel):

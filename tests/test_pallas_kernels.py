@@ -8,7 +8,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from nerf_tpu.models import NeRFModel, SirenModel
+from nerf_tpu.models import GaborModel, NeRFModel, SirenModel
+from nerf_tpu.ops.pallas.fused_gabor import make_fused_gabor_apply
 from nerf_tpu.ops.pallas.fused_nerf import make_fused_nerf_apply
 from nerf_tpu.ops.pallas.fused_siren import make_fused_siren_apply
 
@@ -58,6 +59,16 @@ def test_fused_siren_matches_pure_jax():
     _check(model, fused)
 
 
+def test_fused_gabor_matches_pure_jax():
+    """Tier-1 field kernel for the Gabor family — completes its fallback
+    ladder (tiers 2-3 are the whole-ray render/train kernels)."""
+    model = GaborModel(compute_dtype="float32", num_layers=4)
+    fused = make_fused_gabor_apply(model, tile_fwd=128, tile_bwd=128,
+                                   interpret=True)
+    assert fused is not None
+    _check(model, fused, rtol_grad=2e-4)
+
+
 def test_fused_handles_nonmultiple_batch_and_leading_dims():
     model = NeRFModel(compute_dtype="float32")
     fused = make_fused_nerf_apply(model, tile_fwd=128, tile_bwd=128, interpret=True)
@@ -78,3 +89,4 @@ def test_fused_handles_nonmultiple_batch_and_leading_dims():
 def test_unsupported_width_returns_none():
     assert make_fused_nerf_apply(NeRFModel(hidden_dim=192)) is None
     assert make_fused_siren_apply(SirenModel(hidden_dim=192)) is None
+    assert make_fused_gabor_apply(GaborModel(hidden_dim=192)) is None
