@@ -109,8 +109,11 @@ class PlenOctreeModel:
 
         def field_chunk(p):
             sigma, sh = self.sh_field(params, p)
+            # the Plenoxels grid stores RAW density (softplus applied at
+            # eval) — store softplus^-1 so the cache reproduces this field
+            raw = jnp.log(jnp.expm1(jnp.clip(sigma, 1e-8, 1e8)))
             return jnp.concatenate(
-                [sigma[:, None], sh.reshape(-1, 3 * self.sh_dim)], axis=-1
+                [raw[:, None], sh.reshape(-1, 3 * self.sh_dim)], axis=-1
             )
 
         n = pts.shape[0]

@@ -207,6 +207,12 @@ def fit(
         max_chunk = math.gcd(
             math.gcd(cfg.log_interval, cfg.val_interval), cfg.save_interval
         )
+        # Auto mode caps the chunk: dispatch overhead is fully amortized by
+        # ~100 steps/dispatch, while very long scans inflate XLA compile
+        # memory/time for gather-heavy pure-path bodies (an NGP scan-500
+        # step crashed the tunneled TPU worker during compilation; scan-100
+        # compiles in seconds). Explicit steps_per_call is honored as-is.
+        max_chunk = min(max_chunk, 100)
     _step_fns: dict[int, object] = {1: train_step}
 
     def get_step_fn(c: int):

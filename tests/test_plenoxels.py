@@ -61,7 +61,7 @@ def test_apply_matches_manual_at_grid_nodes():
     rgb, sigma = m.apply(params, jnp.asarray(pts), jnp.asarray(dirs))
     for n, (i, j, k) in enumerate(idx):
         v = grid[i, j, k].astype(np.float64)
-        assert abs(float(sigma[n]) - max(v[0], 0.0)) < 1e-5
+        assert abs(float(sigma[n]) - np.logaddexp(0.0, v[0])) < 1e-5
         sh = v[1:].reshape(3, 9)
         want = 1 / (1 + np.exp(-(sh @ sh_basis_numpy(dirs[n:n+1], 2)[0])))
         np.testing.assert_allclose(np.asarray(rgb[n]), want, atol=1e-5)
