@@ -49,6 +49,13 @@ def make_multiscene_train_step(
     """
     # The fused render/train kernels vmap over the scene axis (pallas_call
     # has a batching rule), so multi-scene gets the same single-kernel path.
+    # KiloNeRF's grouped kernel is the exception: its scalar-prefetched
+    # dispatch plan is per-call data and has no batching rule — that family
+    # multi-trains on its XLA grouped path.
+    from nerf_tpu.models.kilonerf import KiloNeRFModel
+
+    if isinstance(model, KiloNeRFModel):
+        use_pallas = False
     fused_render = resolve_fused_render(model, settings, use_pallas)
     apply_fn = (model.apply if fused_render is not None
                 else resolve_apply_fn(model, use_pallas))

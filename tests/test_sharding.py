@@ -144,6 +144,42 @@ def test_multiscene_step(tiny_setup, tmp_path_factory):
     assert losses[-5:, 1].mean() < losses[:5, 1].mean()
 
 
+@pytest.mark.parametrize("model_type", ["kilonerf", "plenoxels"])
+def test_multiscene_step_new_families(tiny_setup, tmp_path_factory,
+                                      model_type):
+    """Multi-scene batching is family-generic: the grid/dispatch families
+    vmap over the scene axis too (their pure paths; KiloNeRF's grouped
+    kernel is explicitly excluded from vmap inside make_multiscene_...)."""
+    cfg, scene_a = tiny_setup
+    root_b = tmp_path_factory.mktemp(f"scene_b_{model_type}")
+    make_synthetic_blender_scene(str(root_b), h=16, w=16, num_train=4)
+    cfg = dataclasses.replace(
+        cfg, model_type=model_type, hidden_dim=16, grid_res=4,
+        pos_encoding_dim=4, dir_encoding_dim=2,
+    )
+    scene_b = load_scene(dataclasses.replace(cfg, dataset_path=str(root_b)))
+
+    settings = render_settings_from_config(cfg)
+    mesh = create_mesh("scene:2,data:4")
+    model, tx, _ = create_train_state(cfg, jax.random.key(0))
+    params = stack_scenes([model.init(jax.random.key(i)) for i in range(2)])
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       fine_params={}, opt_state=tx.init((params, {})))
+    pools = stack_scenes([scene_a.pool, scene_b.pool])
+
+    step_fn = make_multiscene_train_step(
+        model, tx, settings, 32, jax.random.key(1), mesh,
+        use_pallas=False, donate=False,
+    )
+    losses = []
+    for _ in range(20):
+        state, m = step_fn(state, pools)
+        losses.append(np.asarray(m["mse"]))
+    losses = np.stack(losses)
+    assert np.isfinite(losses).all()
+    assert losses[-5:].mean() < losses[:5].mean()
+
+
 def test_fit_multiscene_driver(tiny_setup, tmp_path_factory, tmp_path):
     """End-to-end multi-scene driver: 2 scenes on a scene:2,data:4 mesh."""
     import dataclasses
