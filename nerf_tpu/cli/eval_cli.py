@@ -44,6 +44,13 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--fps", type=int, default=20, help="frame rate for --video",
     )
+    parser.add_argument(
+        "--bake", type=int, default=0, metavar="GRID_RES",
+        help="bake the field into an MLP-free cache at this grid resolution "
+             "before rendering (fastnerf / plenoctree only): the FastNeRF / "
+             "PlenOctrees papers' acceleration — rendering then costs "
+             "trilinear gathers + a tiny contraction per sample, no network",
+    )
     args = parser.parse_args(argv)
 
     cfg = parse_config_file(args.config)
@@ -83,7 +90,23 @@ def main(argv=None) -> None:
         ndc = False
 
     settings = render_settings_from_config(cfg, ndc=ndc)
-    renderer = make_eval_render(model, settings, use_pallas=cfg.use_pallas)
+    if args.bake:
+        if not hasattr(model, "bake"):
+            raise SystemExit(
+                f"--bake: model '{cfg.model_type}' has no baked cache "
+                "(fastnerf and plenoctree bake)"
+            )
+        print(f"Baking {cfg.model_type} field into a {args.bake}^3 cache...")
+        baked = model.bake(state.params, grid_res=args.bake)
+        if hasattr(baked, "apply"):   # fastnerf -> BakedFastNeRF
+            apply_fn = baked.apply
+        else:                         # plenoctree -> (PlenoxelsModel, params)
+            baked_model, baked_params = baked
+            apply_fn = lambda _p, pts, d: baked_model.apply(baked_params, pts, d)
+        renderer = make_eval_render(model, settings, apply_fn=apply_fn,
+                                    fused_render=None)
+    else:
+        renderer = make_eval_render(model, settings, use_pallas=cfg.use_pallas)
     key = jax.random.key(cfg.seed)
 
     import imageio.v2 as imageio

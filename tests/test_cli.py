@@ -76,3 +76,52 @@ def test_eval_cli_renders_frames(trained, tmp_path):
     img = imageio.imread(out_dir / "frame_0000.png")
     assert img.shape == (16, 16, 3)
     assert img.dtype == np.uint8
+
+
+@pytest.fixture(scope="module")
+def trained_fastnerf(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fn_scene")
+    make_synthetic_blender_scene(str(root), h=16, w=16, num_train=4)
+    save = tmp_path_factory.mktemp("fn_models")
+    logs = tmp_path_factory.mktemp("fn_logs")
+    cfg_path = tmp_path_factory.mktemp("fn_cfg") / "cfg.txt"
+    cfg_path.write_text(
+        f"""
+dataset_path = {root}
+num_random_rays = 64
+num_samples = 8
+num_iters = 10
+hidden_dim = 32
+pos_encoding_dim = 2
+dir_encoding_dim = 1
+save_path = {save}
+save_interval = 100
+log_interval = 5
+val_interval = 100
+model_type = fastnerf
+use_pallas = false
+num_render_poses = 1
+chunk_size = 128
+log_dir = {logs}
+"""
+    )
+    return str(cfg_path), str(save)
+
+
+def test_eval_cli_bake_renders_mlp_free(trained_fastnerf, tmp_path):
+    """--bake renders the orbit from the MLP-free FastNeRF cache (the
+    paper's acceleration), through the same eval CLI."""
+    cfg_path, save = trained_fastnerf
+    train_main(["--config", cfg_path])
+    out_dir = tmp_path / "baked_frames"
+    eval_main(
+        ["--config", cfg_path,
+         "--checkpoint", os.path.join(save, "fastnerf_model_000010"),
+         "--output", str(out_dir), "--bake", "16"]
+    )
+    frames = sorted(os.listdir(out_dir))
+    assert frames == ["frame_0000.png"]
+    import imageio.v2 as imageio
+
+    img = imageio.imread(out_dir / "frame_0000.png")
+    assert img.shape == (16, 16, 3)
