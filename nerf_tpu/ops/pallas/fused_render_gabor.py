@@ -9,17 +9,23 @@ x = o' + t*d' (affine-normalized ray), EVERY input of a Gabor filter
 
 is a polynomial in t with per-ray coefficients:
 
-    sin argument:  A_i + t * B_i         A_i = o'@omega_i + phi_i,  B_i = d'@omega_i
-    ||x - mu||^2:  (p0 + 2t p1 + t^2 p2) - 2(C_i + t D_i) + ||mu_i||^2
-                   p0 = ||o'||^2, p1 = o'.d', p2 = ||d'||^2,
-                   C_i = o'@mu_i^T, D_i = d'@mu_i^T
+    sin argument:   A_i + t * B_i        A_i = o'@omega_i + phi_i,  B_i = d'@omega_i
+    Gauss exponent: P_i + t*Q_i + t^2*R_i     with -gamma_i/2 PREFOLDED:
+                    P_i = -g/2 (||o'||^2 - 2 o'@mu_i^T + ||mu_i||^2)
+                    Q_i = -g/2 (2 o'.d' - 2 d'@mu_i^T)
+                    R_i = -g/2 ||d'||^2
 
-so the kernel takes per-RAY matrices A,B,C,D (rays x h per layer) plus three
-per-ray scalars and builds every per-sample filter in VMEM. The prep that
-computes A..D from the filter parameters is ordinary differentiable XLA, and
-the training kernel emits per-ray cotangents dA..dD (plus d gamma, d ||mu||^2
-and dp) — so filter parameters (omega, phi, mu, gamma) train through the
-kernel with autodiff completing the chain through the prep.
+so the kernel takes five per-RAY matrices A,B,P,Q,R (rays x h per layer)
+and builds every per-sample filter as two FMA chains in t — folding
+-gamma/2 into the prep removes the per-sample q assembly and the
+gamma/||mu||^2 rows from the VPU inner loop, and the backward drops the
+whole dq/dgamma/dp block for three per-ray sums (measured 65.5 -> 67.6
+krays/s on the v5e train bench; tile sweep re-confirmed 768 optimal,
+1024 measures 55k).
+The prep that computes them from the filter parameters is ordinary
+differentiable XLA, and the training kernel emits per-ray cotangents
+dA,dB,dP,dQ,dR — so filter parameters (omega, phi, mu, gamma) train
+through the kernel with autodiff completing the chain through the prep.
 
 Implemented: fused forward (eval / coarse-weights pass) and the
 single-kernel train pass (forward + MSE + backward, no recompute of the
@@ -93,29 +99,25 @@ def _cast_weights(packed: dict, cdt) -> dict:
 
 
 def _filters_tile(filt_tiles, t, s, n, cdt):
-    """Per-sample filter values from the per-ray A/B/C/D tiles.
-
-    filt_tiles: dict with A,B,C,D lists of (TR, h) and p (TR, 8)
-    [p0,p1,p2 in lanes 0..2], gams/m2s lists of (1, h).
-    Returns (gs, sinargs, Es, qs): per-layer (TB, h) values + residuals.
-    """
+    """Per-sample filter values from the per-ray A/B/P/Q/R tiles
+    (lists of (TR, h)). Returns (gs, sinargs, Es): per-layer (TB, h)
+    values + backward residuals."""
     sin, _ = _trig(cdt)
-    p = _rep(filt_tiles["p"], s)                       # (TB, 8)
-    p0, p1, p2 = p[:, 0:1], p[:, 1:2], p[:, 2:3]
-    x2 = p0 + 2.0 * t * p1 + (t * t) * p2              # (TB, 1) = ||x||^2
-    gs, sinargs, Es, qs = [], [], [], []
+    t2 = t * t
+    gs, sinargs, Es = [], [], []
     for i in range(n):
         sinarg = _rep(filt_tiles["A"][i], s) + t * _rep(filt_tiles["B"][i], s)
-        q = x2 - 2.0 * (
-            _rep(filt_tiles["C"][i], s) + t * _rep(filt_tiles["D"][i], s)
-        ) + filt_tiles["m2"][i]
-        E = jnp.exp(-0.5 * filt_tiles["gam"][i] * q)
+        e = (
+            _rep(filt_tiles["P"][i], s)
+            + t * _rep(filt_tiles["Q"][i], s)
+            + t2 * _rep(filt_tiles["R"][i], s)
+        )
+        E = jnp.exp(e)
         g = sin(sinarg) * E
         gs.append(g)
         sinargs.append(sinarg)
         Es.append(E)
-        qs.append(q)
-    return gs, sinargs, Es, qs
+    return gs, sinargs, Es
 
 
 def _mlp_tile(gs, denc, w, n, sigma_mul, rgb_mul, cdt):
@@ -141,28 +143,22 @@ def _mlp_tile(gs, denc, w, n, sigma_mul, rgb_mul, cdt):
                 zr0=zr0, y=y, rgb8=rgb8), sigma
 
 
+_FILTER_KEYS = ("A", "B", "P", "Q", "R")
+
+
 def _unpack_filter_refs(refs, n):
-    """Input order: A_1..A_n, B_1.., C_1.., D_1.., p, gam_1.., m2_1.."""
+    """Input order: A_1..A_n, B_1.., P_1.., Q_1.., R_1.."""
     out = {}
     k = 0
-    for name in ("A", "B", "C", "D"):
+    for name in _FILTER_KEYS:
         out[name] = [refs[k + i] for i in range(n)]
         k += n
-    out["p"] = refs[k]; k += 1
-    out["gam"] = [refs[k + i] for i in range(n)]; k += n
-    out["m2"] = [refs[k + i] for i in range(n)]; k += n
     return out, refs[k:]
 
 
 def _read_filter_tiles(fr, tr):
     return {
-        "A": [r[:][:tr] for r in fr["A"]],
-        "B": [r[:][:tr] for r in fr["B"]],
-        "C": [r[:][:tr] for r in fr["C"]],
-        "D": [r[:][:tr] for r in fr["D"]],
-        "p": fr["p"][:][:tr],
-        "gam": [r[:] for r in fr["gam"]],
-        "m2": [r[:] for r in fr["m2"]],
+        name: [r[:][:tr] for r in fr[name]] for name in _FILTER_KEYS
     }
 
 
@@ -175,8 +171,8 @@ def _fwd_kernel(*refs, cdt, s, tr, slot, n, names, sigma_mul, rgb_mul):
     g8 = _onehot_rows(tb, tr, s)
     t, delta = _point_cols_from_t(t_r[:][:tr], s)
     ft = _read_filter_tiles(fr, tr)
-    gs, _, _, _ = _filters_tile(ft, t, s, n, cdt)
-    acts, sigma = _mlp_tile(gs, _rep(ft_denc := denc_r[:][:tr], s), w, n,
+    gs, _, _ = _filters_tile(ft, t, s, n, cdt)
+    acts, sigma = _mlp_tile(gs, _rep(denc_r[:][:tr], s), w, n,
                             sigma_mul, rgb_mul, cdt)
     ray_out, w_col, _, _ = _composite_tile(acts, sigma, t, delta, g8, tb, tr, s)
     if slot != tr:
@@ -194,13 +190,10 @@ def _train_kernel(*refs, cdt, s, tr, slot, n, names, num_w, sigma_mul,
     loss_ref, out_ref, wcol_ref = refs[0], refs[1], refs[2]
     refs = refs[3:]
     # per-ray cotangent outputs (grid-blocked), then accumulators
-    dA_refs = refs[:n]; refs = refs[n:]
-    dB_refs = refs[:n]; refs = refs[n:]
-    dC_refs = refs[:n]; refs = refs[n:]
-    dD_refs = refs[:n]; refs = refs[n:]
-    dp_ref = refs[0]; refs = refs[1:]
-    dgam_refs = refs[:n]; refs = refs[n:]
-    dm2_refs = refs[:n]; refs = refs[n:]
+    dfilt_refs = {}
+    for name in _FILTER_KEYS:
+        dfilt_refs[name] = refs[:n]
+        refs = refs[n:]
     acc_refs = dict(zip(names, refs))
     w = {k: v[:] for k, v in zip(names, w_refs)}
     prec = _matmul_precision(cdt)
@@ -208,14 +201,14 @@ def _train_kernel(*refs, cdt, s, tr, slot, n, names, num_w, sigma_mul,
     @pl.when(pl.program_id(0) == 0)
     def _init():
         loss_ref[:] = jnp.zeros_like(loss_ref)
-        for r in list(acc_refs.values()) + list(dgam_refs) + list(dm2_refs):
+        for r in acc_refs.values():
             r[:] = jnp.zeros_like(r)
 
     tb = tr * s
     g8 = _onehot_rows(tb, tr, s)
     t, delta = _point_cols_from_t(t_r[:][:tr], s)
     ft = _read_filter_tiles(fr, tr)
-    gs, sinargs, Es, qs = _filters_tile(ft, t, s, n, cdt)
+    gs, sinargs, Es = _filters_tile(ft, t, s, n, cdt)
     denc = _rep(denc_r[:][:tr], s)
     acts, sigma = _mlp_tile(gs, denc, w, n, sigma_mul, rgb_mul, cdt)
     ray_out, w_col, T_col, one_m = _composite_tile(
@@ -279,35 +272,18 @@ def _train_kernel(*refs, cdt, s, tr, slot, n, names, num_w, sigma_mul,
     dgs[0] = dz
 
     sin, cos = _trig(cdt)
-    dp_pt = jnp.zeros((tb, 8), jnp.float32)
+    t2 = t * t
     for i in range(n):
         dE = dgs[i] * sin(sinargs[i])
         dsinarg = dgs[i] * cos(sinargs[i]) * Es[i]
-        dq = dE * Es[i] * (-0.5 * ft["gam"][i])
-        dgam_refs[i][:] += jnp.sum(dE * Es[i] * (-0.5 * qs[i]),
-                                   axis=0, keepdims=True)
-        dm2_refs[i][:] += jnp.sum(dq, axis=0, keepdims=True)
+        de = dE * Es[i]                    # d wrt the prefolded exponent
         # per-ray sums of per-sample cotangents
-        dA = _per_ray_sum(g8, dsinarg)
-        dB = _per_ray_sum(g8, dsinarg * t)
-        dC = _per_ray_sum(g8, -2.0 * dq)
-        dD = _per_ray_sum(g8, -2.0 * dq * t)
-        for ref, val in ((dA_refs[i], dA), (dB_refs[i], dB),
-                         (dC_refs[i], dC), (dD_refs[i], dD)):
+        for name, val in (("A", dsinarg), ("B", dsinarg * t),
+                          ("P", de), ("Q", de * t), ("R", de * t2)):
+            out = _per_ray_sum(g8, val)
             if slot != tr:
-                val = jnp.pad(val, ((0, slot - tr), (0, 0)))
-            ref[:] = val
-        dq_sum = jnp.sum(dq, axis=1, keepdims=True)       # (TB, 1)
-        col8 = jax.lax.broadcasted_iota(jnp.int32, (tb, 8), 1)
-        dp_pt = dp_pt + jnp.where(
-            col8 == 0, dq_sum, 0.0
-        ) + jnp.where(col8 == 1, 2.0 * t * dq_sum, 0.0) + jnp.where(
-            col8 == 2, (t * t) * dq_sum, 0.0
-        )
-    dp = _per_ray_sum(g8, dp_pt)
-    if slot != tr:
-        dp = jnp.pad(dp, ((0, slot - tr), (0, 0)))
-    dp_ref[:] = dp
+                out = jnp.pad(out, ((0, slot - tr), (0, 0)))
+            dfilt_refs[name][i][:] = out
 
     if slot != tr:
         ray_out = jnp.pad(ray_out, ((0, slot - tr), (0, 0)))
@@ -317,24 +293,18 @@ def _train_kernel(*refs, cdt, s, tr, slot, n, names, num_w, sigma_mul,
 
 def _filter_specs(slot, h, n):
     ray = pl.BlockSpec((slot, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    p8 = pl.BlockSpec((slot, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    return [ray] * (4 * n) + [p8] + [row] * (2 * n)
+    return [ray] * (5 * n)
 
 
 def _slot_filters(prepf, tr, slot, n):
-    slotted = dict(prepf)
-    for name in ("A", "B", "C", "D"):
-        slotted[name] = [_slot_rays(x, tr, slot) for x in prepf[name]]
-    slotted["p"] = _slot_rays(prepf["p"], tr, slot)
-    return slotted
+    return {
+        name: [_slot_rays(x, tr, slot) for x in prepf[name]]
+        for name in _FILTER_KEYS
+    }
 
 
 def _flat_filter_args(pf, n):
-    return (
-        list(pf["A"]) + list(pf["B"]) + list(pf["C"]) + list(pf["D"])
-        + [pf["p"]] + list(pf["gam"]) + list(pf["m2"])
-    )
+    return [x for name in _FILTER_KEYS for x in pf[name]]
 
 
 def _weight_specs(wc, names):
@@ -430,18 +400,15 @@ def _build_train(h, d_pad, s, tr_train, cdt, n, sigma_mul, rgb_mul,
                                  memory_space=pltpu.VMEM)
         acc_specs = _weight_specs(wc, names)
         rayh_shape = jax.ShapeDtypeStruct((n_tiles * slot_tr, h), jnp.float32)
-        rowh_shape = jax.ShapeDtypeStruct((1, h), jnp.float32)
         out_specs = (
             [loss_spec, row8, _col_spec(tb)]
-            + [rayh] * (4 * n) + [row8] + [rowh] * (2 * n) + acc_specs
+            + [rayh] * (5 * n) + acc_specs
         )
         out_shape = (
             [jax.ShapeDtypeStruct((1, 8), jnp.float32),
              jax.ShapeDtypeStruct((n_tiles * slot_tr, 8), jnp.float32),
              jax.ShapeDtypeStruct((n_pts, 1), jnp.float32)]
-            + [rayh_shape] * (4 * n)
-            + [jax.ShapeDtypeStruct((n_tiles * slot_tr, 8), jnp.float32)]
-            + [rowh_shape] * (2 * n)
+            + [rayh_shape] * (5 * n)
             + [jax.ShapeDtypeStruct(wc[k].shape, jnp.float32) for k in names]
         )
         outs = pl.pallas_call(
@@ -465,16 +432,10 @@ def _build_train(h, d_pad, s, tr_train, cdt, n, sigma_mul, rgb_mul,
         ray_out = _unslot_rays(outs[k], tr_train, slot_tr); k += 1
         w_col = outs[k]; k += 1
         unslot = lambda x: _unslot_rays(x, tr_train, slot_tr)
-        dprepf = {
-            "A": [unslot(outs[k + i]) for i in range(n)],
-            "B": [unslot(outs[k + n + i]) for i in range(n)],
-            "C": [unslot(outs[k + 2 * n + i]) for i in range(n)],
-            "D": [unslot(outs[k + 3 * n + i]) for i in range(n)],
-        }
-        k += 4 * n
-        dprepf["p"] = unslot(outs[k]); k += 1
-        dprepf["gam"] = [outs[k + i] for i in range(n)]; k += n
-        dprepf["m2"] = [outs[k + i] for i in range(n)]; k += n
+        dprepf = {}
+        for name in _FILTER_KEYS:
+            dprepf[name] = [unslot(outs[k + i]) for i in range(n)]
+            k += n
         dpacked = dict(zip(names, outs[k:]))
         return loss, ray_out, w_col, dprepf, dpacked
 
@@ -587,21 +548,20 @@ class FusedGaborRender:
         def dot(x, m):
             return jnp.dot(x, m, precision=HIGHEST)
 
-        A, B, C, D, gam, m2 = [], [], [], [], [], []
+        oo = jnp.sum(o * o, -1, keepdims=True)     # (R, 1)
+        od = jnp.sum(o * d, -1, keepdims=True)
+        dd = jnp.sum(d * d, -1, keepdims=True)
+        A, B, P, Q, R = [], [], [], [], []
         for f in params["filters"]:
             A.append(dot(o, f["omega"]) + f["phi"])
             B.append(dot(d, f["omega"]))
-            C.append(dot(o, f["mu"].T))
-            D.append(dot(d, f["mu"].T))
-            gam.append(f["gamma"][None, :])
-            m2.append(jnp.sum(f["mu"] ** 2, axis=-1)[None, :])
-        p = jnp.concatenate(
-            [jnp.sum(o * o, -1, keepdims=True),
-             jnp.sum(o * d, -1, keepdims=True),
-             jnp.sum(d * d, -1, keepdims=True),
-             jnp.zeros((o.shape[0], 5), jnp.float32)], axis=-1,
-        )
-        prepf = {"A": A, "B": B, "C": C, "D": D, "p": p, "gam": gam, "m2": m2}
+            # -gamma/2 prefolded into the per-ray Gauss-exponent quadratic
+            half_g = -0.5 * f["gamma"][None, :]    # (1, h)
+            m2 = jnp.sum(f["mu"] ** 2, axis=-1)[None, :]
+            P.append(half_g * (oo - 2.0 * dot(o, f["mu"].T) + m2))
+            Q.append(half_g * (2.0 * od - 2.0 * dot(d, f["mu"].T)))
+            R.append(half_g * dd)
+        prepf = {"A": A, "B": B, "P": P, "Q": Q, "R": R}
         denc = dot(viewdirs, self._Ed) + self._mask_d * jnp.sin(
             dot(viewdirs, self._Sd) + self._phase_d
         )
