@@ -97,7 +97,15 @@ def main(argv=None) -> None:
                 "(fastnerf and plenoctree bake)"
             )
         print(f"Baking {cfg.model_type} field into a {args.bake}^3 cache...")
-        baked = model.bake(state.params, grid_res=args.bake)
+        # hierarchical checkpoints carry the final image quality in the FINE
+        # network — bake that one (both passes then sample the same baked
+        # field; importance sampling still concentrates the fine t's)
+        bake_params = (
+            state.fine_params
+            if cfg.num_fine_samples > 0 and state.fine_params
+            else state.params
+        )
+        baked = model.bake(bake_params, grid_res=args.bake)
         if hasattr(baked, "apply"):   # fastnerf -> BakedFastNeRF
             apply_fn = baked.apply
         else:                         # plenoctree -> (PlenoxelsModel, params)

@@ -83,7 +83,18 @@ def epoch_indices(
     position ``p = step*batch + i`` lands in epoch ``p // pool_size`` at
     offset ``p % pool_size``; each epoch permutes offsets with its own
     cipher key (``fold_in(key, epoch)``). Batches straddling an epoch
-    boundary wrap into the next epoch's permutation."""
+    boundary wrap into the next epoch's permutation.
+
+    Limits (checked where static): ``batch_size <= pool_size`` (a batch
+    spans at most two epochs — more would reuse epoch e0+1's cipher), and
+    the linear position must stay below 2^31 (~2M steps at batch 1024;
+    jax default x64-off leaves no wider exact integer). ``fit()`` warns
+    when a schedule would cross that."""
+    if batch_size > pool_size:
+        raise ValueError(
+            f"epoch_sampling needs batch_size ({batch_size}) <= pool size "
+            f"({pool_size}): a batch may straddle at most two epochs"
+        )
     pos = jnp.asarray(step, jnp.int32) * batch_size + jnp.arange(
         batch_size, dtype=jnp.int32
     )
@@ -162,8 +173,12 @@ def build_ray_pool(
         viewdirs = viewdirs / np.linalg.norm(viewdirs, axis=-1, keepdims=True)
 
     if sharding is not None:
-        # pad to a shard multiple by wrapping — duplicate rays are harmless
-        # for uniform with-replacement sampling (same trick as mesh.shard_pool)
+        # Pad to a shard multiple by wrapping — duplicate rays are harmless
+        # for uniform with-replacement sampling (same trick as
+        # mesh.shard_pool). Under epoch_sampling the exactly-once guarantee
+        # then holds over the PADDED pool: the first `rem` rays appear twice
+        # per epoch (rem < n_shards, i.e. <1e-5 of a real scene's pool) —
+        # fit() notes this at startup when both features are active.
         n_shards = getattr(sharding, "num_devices", None) or len(sharding.device_set)
         rem = (-rays_o.shape[0]) % n_shards
         if rem:

@@ -56,21 +56,15 @@ def _filter_names(n: int) -> tuple:
 
 def pack_params(params: dict, d_pad: int, h: int, n: int) -> dict:
     """GaborModel pytree -> kernel layout (float32; differentiable jnp ops
-    so autodiff maps kernel gradients back, incl. d m2 -> d mu)."""
-    out = {}
-    for i, lyr in enumerate(params["linears"], start=1):
-        out[f"w{i}"] = lyr["w"]
-        out[f"b{i}"] = lyr["b"][None, :]
-    out["ws"] = params["sigma"]["w"].T
-    out["bs"] = params["sigma"]["b"][None, :]
-    out["wre"] = params["remap"]["w"]
-    out["bre"] = params["remap"]["b"][None, :]
-    wr0 = params["rgb0"]["w"]
-    out["wr0f"] = wr0[:h]
-    out["wr0d"] = jnp.pad(wr0[h:], ((0, d_pad - (wr0.shape[0] - h)), (0, 0)))
-    out["br0"] = params["rgb0"]["b"][None, :]
-    out["wr1"] = jnp.pad(params["rgb1"]["w"], ((0, 0), (0, 5)))
-    out["br1"] = jnp.pad(params["rgb1"]["b"][None, :], ((0, 0), (0, 5)))
+    so autodiff maps kernel gradients back, incl. d m2 -> d mu). The
+    linear/head layout is shared with the tier-2/3 render kernels — reuse
+    their pack so _mlp_tile always reads one layout — plus the raw filter
+    banks this field kernel evaluates in-kernel."""
+    from nerf_tpu.ops.pallas.fused_render_gabor import (
+        pack_params as pack_mlp,
+    )
+
+    out = pack_mlp(params, d_pad, h)
     pad8 = lambda a: jnp.pad(a, ((0, 5), (0, 0)))  # 3 rows -> 8 sublanes
     for j, f in enumerate(params["filters"]):
         out[f"om{j}"] = pad8(f["omega"])                    # (8, h)

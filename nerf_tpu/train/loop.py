@@ -157,6 +157,21 @@ def fit(
             f"Loaded scene '{scene.name}': {scene.pool.size} train rays, "
             f"{scene.val_images.shape[0]} val images {scene.hw[0]}x{scene.hw[1]}"
         )
+    if cfg.epoch_sampling and primary:
+        # epoch_indices tracks the linear position in int32 (no wider exact
+        # integer with jax x64 off) and exactly-once holds over the padded
+        # pool when sharding wrapped it — surface both caveats up front.
+        if num_iters * cfg.num_random_rays >= 2**31:
+            print(
+                "WARNING: epoch_sampling position overflows int32 at step "
+                f"{2**31 // cfg.num_random_rays}; epochs repeat a stale "
+                "permutation beyond that point."
+            )
+        if data_shard is not None:
+            print(
+                "Note: epoch_sampling with a sharded pool counts any "
+                "wrap-padded duplicate rays in its exactly-once guarantee."
+            )
 
     # --- model / state ---
     model, tx, state = create_train_state(cfg, k_init)

@@ -44,6 +44,15 @@ def test_epoch_wrap_straddles_into_next_permutation():
     assert not np.array_equal(epoch0, epoch1)  # epochs reshuffle
 
 
+def test_batch_larger_than_pool_rejected():
+    """A batch spanning 3+ epochs would silently reuse epoch e0+1's cipher;
+    the builder refuses instead."""
+    import pytest
+
+    with pytest.raises(ValueError, match="batch_size"):
+        epoch_indices(jax.random.key(0), jnp.asarray(0), 256, 100)
+
+
 def test_epochs_differ_and_are_key_dependent():
     m, b = 512, 512
     e0 = np.asarray(epoch_indices(jax.random.key(0), jnp.asarray(0), b, m))
