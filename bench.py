@@ -131,6 +131,7 @@ def _render_mode() -> None:
         num_samples=int(os.environ.get("NERF_TPU_BENCH_SAMPLES", 64)),
         num_fine_samples=int(os.environ.get("NERF_TPU_BENCH_FINE", 128)),
         eval_chunk_size=int(os.environ.get("NERF_TPU_BENCH_CHUNK", 0)),
+        model_type=model_type,
     )
     model = _make_model(model_type, os.environ.get("NERF_TPU_BENCH_DTYPE",
                                                    "bfloat16"))

@@ -64,6 +64,14 @@ def render_settings_from_config(cfg: Config, ndc: bool = False) -> RenderSetting
     )
 
 
+# Families whose field evaluation is table-gathers (trilinear grids / hash
+# lookups) rather than matmuls. Their z-pair slice gathers (ops/interp.py)
+# materialize (chunk*S, 2, C) temporaries in lane-padded layouts, so the
+# 32k MLP-path eval tile OOMs HBM at 128^3x28 grids; 8192 both fits and
+# measures within noise of 16k (46.2k vs 46.0k rays/s, 400x400).
+_GATHER_FAMILIES = frozenset({"plenoxels", "fastnerf", "ngp", "plenoctree"})
+
+
 def resolve_eval_chunk(cfg: Config) -> int:
     """Ray tile size for full-image (eval/validation) renders.
 
@@ -71,8 +79,10 @@ def resolve_eval_chunk(cfg: Config) -> int:
     (rendering.py:191 loops purely for memory). On TPU the measured-fastest
     tile is 32768 (fewer lax.map iterations amortize the per-tile
     sample_pdf/merge glue: 463 -> 445 ms at 400x400 hierarchical) and HBM
-    holds it easily, so auto (eval_chunk_size=0) picks that; an explicit
-    eval_chunk_size always wins, and non-TPU backends keep chunk_size.
+    holds it easily, so auto (eval_chunk_size=0) picks that — except for
+    the gather-bound grid families, which cap at 8192 (see
+    _GATHER_FAMILIES). An explicit eval_chunk_size always wins, and
+    non-TPU backends keep chunk_size.
     """
     if cfg.eval_chunk_size > 0:
         return cfg.eval_chunk_size
@@ -80,7 +90,11 @@ def resolve_eval_chunk(cfg: Config) -> int:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover - backend init failure
         on_tpu = False
-    return max(cfg.chunk_size, 32768) if on_tpu else cfg.chunk_size
+    if not on_tpu:
+        return cfg.chunk_size
+    if cfg.model_type in _GATHER_FAMILIES:
+        return 8192
+    return max(cfg.chunk_size, 32768)
 
 
 def print_config_summary(cfg: Config) -> None:
