@@ -140,15 +140,23 @@ def _render_mode() -> None:
     fine_params = model.init(jax.random.key(1))
     render = make_eval_render(model, settings)
 
+    # a real camera pose (orbit radius 4, lego-ish fov), not random ray
+    # soup: identical cost for the MLP families, and the geometry the grid
+    # families' coherence-gated kernel actually sees in eval
+    from nerf_tpu.data.poses import spherical_orbit
+    from nerf_tpu.data.rays import compute_rays_single
+
     n = hw * hw
-    rng = np.random.default_rng(0)
-    rays_o = jnp.asarray(rng.normal(scale=0.1, size=(n, 3)), jnp.float32)
-    rd = rng.normal(size=(n, 3))
-    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
-    rays_d = jnp.asarray(rd, jnp.float32)
+    focal = 0.5 * hw / np.tan(0.5 * 0.6911)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3] = spherical_orbit(4)[0][:3]
+    ro, rd = compute_rays_single(hw, hw, focal, c2w)
+    rays_o = jnp.asarray(ro.reshape(-1, 3), jnp.float32)
+    rays_d = jnp.asarray(rd.reshape(-1, 3), jnp.float32)
 
     def frame(i):
-        out = render(params, fine_params, rays_o, rays_d, jax.random.key(i))
+        out = render(params, fine_params, rays_o, rays_d, jax.random.key(i),
+                     hw=(hw, hw))
         return float(np.asarray(out.rgb[0, 0]))  # host fetch = hard sync
 
     frame(0)  # compile
@@ -172,6 +180,9 @@ def _render_mode() -> None:
 
 
 def main() -> None:
+    from nerf_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     if os.environ.get("NERF_TPU_BENCH_MODE", "train") == "render":
         _render_mode()
         return

@@ -53,6 +53,9 @@ def main(argv=None) -> None:
     )
     args = parser.parse_args(argv)
 
+    from nerf_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     cfg = parse_config_file(args.config)
     meta = read_metadata(args.checkpoint)
     cfg.model_type = meta.get("model_type", cfg.model_type).lower()
@@ -138,6 +141,7 @@ def main(argv=None) -> None:
             jnp.asarray(rays_d),
             jax.random.fold_in(key, i),
             viewdirs=viewdirs,
+            hw=(h, w),   # coherent tile ordering for grid families
         )
         frame = np.clip(np.asarray(out.rgb).reshape(h, w, 3), 0.0, 1.0)
         frame_u8 = (frame * 255).astype(np.uint8)

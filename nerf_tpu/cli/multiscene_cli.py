@@ -25,6 +25,9 @@ def main(argv=None) -> None:
     parser.add_argument("--max-steps", type=int, default=None)
     args = parser.parse_args(argv)
 
+    from nerf_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     cfg = parse_config_file(args.config)
     fit_multiscene(cfg, args.scenes, max_steps=args.max_steps)
 

@@ -25,6 +25,9 @@ def main(argv=None) -> None:
                         help="Override num_iters (smoke tests)")
     args = parser.parse_args(argv)
 
+    from nerf_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     cfg = parse_config_file(args.config)
     if args.resume is not None:
         meta = read_metadata(args.resume)

@@ -170,10 +170,22 @@ class BakedFastNeRF(NamedTuple):
     def apply(self, params, points: jax.Array, viewdirs: jax.Array):
         del params  # the grids ARE the parameters
         shape = points.shape[:-1]
-        p = points.reshape(-1, 3)
         d = viewdirs.reshape(-1, 3)
 
-        vals = _trilinear(self.pos_grid, p)          # (N, 1+3D)
+        if points.ndim == 3:
+            # Ray-structured eval queries ride the coherent brick-DMA
+            # kernel (ops/pallas/fused_grid.py) when the rays are
+            # block-ordered; incoherent batches fall back to the pure
+            # gather path inside. 1+3D = 25 channels <= the kernel's
+            # 32-lane pad. Baked caches are eval-only, so bf16 interp
+            # (~5e-3 rel) is the right default.
+            from nerf_tpu.ops.pallas.fused_grid import trilinear_rays
+
+            vals = trilinear_rays(self.pos_grid, points).reshape(
+                -1, self.pos_grid.shape[-1]
+            )
+        else:
+            vals = _trilinear(self.pos_grid, points.reshape(-1, 3))
         sigma = jax.nn.relu(vals[:, 0])
         factors = vals[:, 1:].reshape(-1, self.num_factors, 3)
 

@@ -82,6 +82,10 @@ class PlenoxelsModel:
                                    # bias guard in models/nerf.py:53-61)
     compute_dtype: str = "float32"  # grids interpolate in f32 regardless
     reference_init: bool = False    # strict parity: zero-init density too
+    interp_dtype: str = "bfloat16"  # coherent-kernel matmul precision for
+                                    # EVAL renders (~5e-3 rel; training
+                                    # gradients always take the f32 pure
+                                    # path); "float32" for exact eval
 
     name: str = "plenoxels"
 
@@ -108,9 +112,21 @@ class PlenoxelsModel:
         """points/viewdirs (..., 3) -> (rgb (..., 3), sigma (...,)).
         Points pre-normalized to [-1,1] by the renderer."""
         shape = points.shape[:-1]
-        p = points.reshape(-1, 3)
         d = viewdirs.reshape(-1, 3)
-        vals = trilinear(params["grid"], p)              # (N, C)
+        if points.ndim == 3:
+            # Ray-structured (R, S, 3) queries (the renderer's shape) ride
+            # the coherent brick-DMA kernel on TPU when the batch is
+            # spatially tiled (block-ordered eval rays; see
+            # ops/pallas/fused_grid.py) — ~4x the gather path. Incoherent
+            # batches (random training rays) fall back to ``trilinear``
+            # inside, so values and gradients are identical either way.
+            from nerf_tpu.ops.pallas.fused_grid import trilinear_rays
+
+            vals = trilinear_rays(
+                params["grid"], points, dtype=self.interp_dtype
+            ).reshape(-1, self.channels)
+        else:
+            vals = trilinear(params["grid"], points.reshape(-1, 3))  # (N, C)
         sigma = jax.nn.softplus(vals[:, 0])
         sh = vals[:, 1:].reshape(-1, 3, self.sh_dim)     # (N, 3, L)
         basis = sh_basis(d, self.sh_degree)              # (N, L)
@@ -120,9 +136,19 @@ class PlenoxelsModel:
     def upsample(self, params: dict, new_res: int) -> dict:
         """Coarse-to-fine: trilinearly resample the grid to ``new_res``
         (the paper's 256^3-from-128^3 schedule)."""
+        from nerf_tpu.ops.pallas.fused_grid import trilinear_rays
+
         lin = jnp.linspace(-1.0, 1.0, new_res, dtype=jnp.float32)
         pts = jnp.stack(jnp.meshgrid(lin, lin, lin, indexing="ij"),
-                        axis=-1).reshape(-1, 3)
-        vals = trilinear(params["grid"], pts)
+                        axis=-1)
+        # (x, y) pairs as "rays" with samples along z: perfectly coherent
+        # lines, so the brick-DMA kernel serves the new_res^3 resample
+        # (tile_rays=8 keeps a tile's y-span inside the 16^3 window even
+        # for 2x upsamples with a misaligned window base; exact f32 —
+        # grid values feed further training)
+        vals = trilinear_rays(
+            params["grid"], pts.reshape(new_res * new_res, new_res, 3),
+            tile_rays=8, dtype="float32",
+        )
         return {"grid": vals.reshape(new_res, new_res, new_res,
                                      self.channels)}

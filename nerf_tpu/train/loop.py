@@ -301,7 +301,9 @@ def fit(
         rays_o, rays_d, _ = compute_rays(
             val_img[None], c2w[None], scene.focal
         )
-        rays_o, rays_d = rays_o[0], rays_d[0]
+        # flat (H*W, 3): the shape make_eval_render keys its coherent
+        # tile-reorder on (hw[0]*hw[1] == rays.shape[0])
+        rays_o, rays_d = rays_o[0].reshape(-1, 3), rays_d[0].reshape(-1, 3)
         viewdirs = None
         if scene.ndc:
             from nerf_tpu.ops.ndc import ndc_rays
@@ -318,6 +320,10 @@ def fit(
             jnp.asarray(rays_d),
             jax.random.fold_in(k_val, step),
             viewdirs=jnp.asarray(viewdirs) if viewdirs is not None else None,
+            # coherent tile ordering for grid families; skipped under
+            # multihost, where the sharded output feeds process_allgather
+            # and must stay in scanline order
+            hw=scene.hw if jax.process_count() == 1 else None,
         )
         rgb = out.rgb
         if jax.process_count() > 1:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -281,6 +282,14 @@ def make_scan_train_step(
     return jax.jit(step_n, donate_argnums=(0,) if donate else ())
 
 
+# Families whose field evaluation is dense-grid trilinear interpolation:
+# full-image renders permute their rays into 8x8 pixel blocks so the
+# coherent brick-DMA kernel (ops/pallas/fused_grid.py) engages instead of
+# the per-row gather path. Ray order is semantically neutral (each ray
+# renders independently); the permutation round-trips on the host.
+_TRILERP_FAMILIES = frozenset({"plenoxels", "fastnerf", "plenoctree"})
+
+
 def make_eval_render(
     model,
     settings: RenderSettings,
@@ -289,12 +298,20 @@ def make_eval_render(
     fused_render=None,
 ):
     """Returns a jitted full-image renderer:
-    ``render(params, fine_params, rays_o, rays_d, key) -> RenderOutput``.
-    Memory is bounded by ``settings.chunk_size`` via lax.map tiling."""
+    ``render(params, fine_params, rays_o, rays_d, key, viewdirs=None,
+    hw=None) -> RenderOutput``. Memory is bounded by
+    ``settings.chunk_size`` via lax.map tiling.
+
+    When ``hw=(h, w)`` is passed and the model is a grid family, rays are
+    reordered into spatial pixel blocks (host-side) before rendering and
+    the outputs restored to scanline order after — the coherence the
+    fused grid kernel needs. Outputs come back as NumPy arrays in that
+    mode (they round-trip through the host anyway)."""
     if apply_fn is None:
         apply_fn = resolve_apply_fn(model, use_pallas)
         if fused_render is None:
             fused_render = resolve_fused_render(model, settings, use_pallas)
+    tile_order = getattr(model, "name", "") in _TRILERP_FAMILIES
 
     @jax.jit
     def _render(params, fine_params, rays_o, rays_d, viewdirs, key):
@@ -310,9 +327,22 @@ def make_eval_render(
             fused_render=fused_render,
         )
 
-    def render(params, fine_params, rays_o, rays_d, key, viewdirs=None):
+    def render(params, fine_params, rays_o, rays_d, key, viewdirs=None,
+               hw=None):
         if viewdirs is None:
             viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        return _render(params, fine_params, rays_o, rays_d, viewdirs, key)
+        perm = None
+        if tile_order and hw is not None and hw[0] * hw[1] == rays_o.shape[0]:
+            from nerf_tpu.ops.pallas.fused_grid import tile_ray_order
+
+            perm = tile_ray_order(hw[0], hw[1])
+            rays_o = jnp.asarray(np.asarray(rays_o)[perm])
+            rays_d = jnp.asarray(np.asarray(rays_d)[perm])
+            viewdirs = jnp.asarray(np.asarray(viewdirs)[perm])
+        out = _render(params, fine_params, rays_o, rays_d, viewdirs, key)
+        if perm is not None:
+            inv = np.argsort(perm)
+            out = type(out)(*(np.asarray(x)[inv] for x in out))
+        return out
 
     return render

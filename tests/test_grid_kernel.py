@@ -1,0 +1,231 @@
+"""Coherent grid-interpolation kernel (ops/pallas/fused_grid.py).
+
+The kernel is the TPU answer to the grid families' gather wall: ray-tile
+windows streamed as 8^3 sub-bricks via scalar-prefetched BlockSpecs, with
+trilinear weights built as separable tent matmuls. These tests run it in
+interpret mode on CPU and pin (a) exactness against ops/interp.trilinear
+on coherent batches, (b) the runtime fallback on incoherent batches,
+(c) gradient equality (the custom VJP routes through the pure backward),
+and (d) the eval-path wiring (tile_ray_order + model integration).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerf_tpu.ops.interp import trilinear
+from nerf_tpu.ops.pallas.fused_grid import (
+    _coherent_channels,
+    tile_ray_order,
+    trilinear_rays,
+)
+
+
+def _cells_to_p(cells, r):
+    """Cell coordinates [0, r-1] -> the [-1, 1] query convention."""
+    return 2.0 * cells / (r - 1) - 1.0
+
+
+def _coherent_points(rng, r, num_rays, s, tile=64, seg=8):
+    """Ray-structured points where every (tile x seg) step fits a 16^3
+    window: each ray tile draws all its cells from one 8-ALIGNED
+    [o, o+13.9] box (the plan's windows start at sub-brick boundaries, so
+    an unaligned 14-cell span would straddle three bricks per axis)."""
+    cells = np.empty((num_rays, s, 3), np.float32)
+    max_b = max(r - 16, 0) // 8
+    for t0 in range(0, num_rays, tile):
+        o = 8 * rng.integers(0, max_b + 1, size=3)
+        cells[t0:t0 + tile] = o + rng.uniform(
+            0.0, 13.9, size=(min(tile, num_rays - t0), s, 3)
+        )
+    return jnp.asarray(_cells_to_p(cells, r))
+
+
+def test_kernel_matches_pure_coherent():
+    rng = np.random.default_rng(0)
+    r, c = 24, 28
+    grid = jnp.asarray(rng.normal(size=(r, r, r, c)).astype(np.float32))
+    pts = _coherent_points(rng, r, num_rays=128, s=16)
+
+    _, fits = _coherent_channels(
+        grid, pts, 64, 8, jnp.float32, jax.lax.Precision.HIGHEST, True
+    )
+    assert bool(fits)
+
+    got = trilinear_rays(grid, pts, dtype="float32",
+                         force=True, interpret=True)
+    want = trilinear(grid, pts.reshape(-1, 3)).reshape(128, 16, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_handles_ragged_shapes():
+    # rays not a tile multiple, samples not a segment multiple -> edge pad
+    rng = np.random.default_rng(1)
+    r, c = 16, 5
+    grid = jnp.asarray(rng.normal(size=(r, r, r, c)).astype(np.float32))
+    pts = _coherent_points(rng, r, num_rays=100, s=12)
+    got = trilinear_rays(grid, pts, dtype="float32",
+                         force=True, interpret=True)
+    want = trilinear(grid, pts.reshape(-1, 3)).reshape(100, 12, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bfloat16_mode_close():
+    rng = np.random.default_rng(2)
+    r, c = 16, 28
+    grid = jnp.asarray(rng.normal(size=(r, r, r, c)).astype(np.float32))
+    pts = _coherent_points(rng, r, num_rays=64, s=8)
+    got = np.asarray(trilinear_rays(grid, pts, dtype="bfloat16",
+                                    force=True, interpret=True))
+    want = np.asarray(trilinear(grid, pts.reshape(-1, 3))).reshape(64, 8, c)
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 2e-2
+
+
+def test_incoherent_batch_falls_back_exactly():
+    # points scattered over the whole volume: the plan's fits bit is False
+    # and the lax.cond takes the pure path -> exact equality
+    rng = np.random.default_rng(3)
+    r, c = 16, 4
+    grid = jnp.asarray(rng.normal(size=(r, r, r, c)).astype(np.float32))
+    pts = jnp.asarray(
+        rng.uniform(-1.0, 1.0, size=(64, 8, 3)).astype(np.float32)
+    )
+    _, fits = _coherent_channels(
+        grid, pts, 64, 8, jnp.float32, jax.lax.Precision.HIGHEST, True
+    )
+    assert not bool(fits)
+    got = trilinear_rays(grid, pts, dtype="bfloat16",
+                         force=True, interpret=True)
+    want = trilinear(grid, pts.reshape(-1, 3)).reshape(64, 8, c)
+    # same math, but XLA fuses the cond branch differently than the
+    # standalone call -> f32 rounding differences at the ulp level
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_gradients_match_pure():
+    rng = np.random.default_rng(4)
+    r, c = 16, 4
+    grid = jnp.asarray(rng.normal(size=(r, r, r, c)).astype(np.float32))
+    pts = _coherent_points(rng, r, num_rays=64, s=8)
+    cot = jnp.asarray(rng.normal(size=(64, 8, c)).astype(np.float32))
+
+    def loss_kernel(g, p):
+        return jnp.sum(trilinear_rays(g, p, dtype="float32",
+                                      force=True, interpret=True) * cot)
+
+    def loss_pure(g, p):
+        out = trilinear(g, p.reshape(-1, 3)).reshape(64, 8, c)
+        return jnp.sum(out * cot)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1))(grid, pts)
+    gp = jax.grad(loss_pure, argnums=(0, 1))(grid, pts)
+    for a, b in zip(gk, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_unusable_shapes_fall_back():
+    rng = np.random.default_rng(5)
+    # resolution not a multiple of 8 -> static fallback, still exact
+    grid = jnp.asarray(rng.normal(size=(12, 12, 12, 3)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-1, 1, size=(64, 8, 3)).astype(np.float32))
+    got = trilinear_rays(grid, pts, force=True, interpret=True)
+    want = trilinear(grid, pts.reshape(-1, 3)).reshape(64, 8, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=0)
+    # too many channels for the 32-lane pad
+    grid = jnp.asarray(rng.normal(size=(16, 16, 16, 40)).astype(np.float32))
+    got = trilinear_rays(grid, pts, force=True, interpret=True)
+    want = trilinear(grid, pts.reshape(-1, 3)).reshape(64, 8, 40)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=0)
+
+
+def test_tile_ray_order_is_blocked_permutation():
+    h, w, t = 12, 20, 8
+    perm = tile_ray_order(h, w, t)
+    assert sorted(perm.tolist()) == list(range(h * w))
+    # first block = the top-left t x t pixels, row-major
+    want = (np.arange(t)[:, None] * w + np.arange(t)[None, :]).reshape(-1)
+    np.testing.assert_array_equal(perm[: t * t], want)
+    # inverse round-trips
+    inv = np.argsort(perm)
+    x = np.arange(h * w)
+    np.testing.assert_array_equal(x[perm][inv], x)
+
+
+def test_plenoxels_apply_ray_structured_matches_flat():
+    from nerf_tpu.models import PlenoxelsModel
+
+    rng = np.random.default_rng(6)
+    model = PlenoxelsModel(grid_res=16, sh_degree=1)
+    params = {"grid": jnp.asarray(
+        rng.normal(size=(16, 16, 16, model.channels)).astype(np.float32)
+    )}
+    pts = jnp.asarray(rng.uniform(-1, 1, size=(32, 8, 3)).astype(np.float32))
+    d = rng.normal(size=(32, 8, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+
+    rgb_r, sig_r = model.apply(params, pts, d)
+    rgb_f, sig_f = model.apply(params, pts.reshape(-1, 3), d.reshape(-1, 3))
+    np.testing.assert_allclose(np.asarray(rgb_r).reshape(-1, 3),
+                               np.asarray(rgb_f), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sig_r).reshape(-1),
+                               np.asarray(sig_f), rtol=1e-6, atol=1e-6)
+
+
+def test_plenoxels_upsample_exact():
+    from nerf_tpu.models import PlenoxelsModel
+
+    rng = np.random.default_rng(7)
+    model = PlenoxelsModel(grid_res=16, sh_degree=0)
+    grid = jnp.asarray(
+        rng.normal(size=(16, 16, 16, model.channels)).astype(np.float32)
+    )
+    up = model.upsample({"grid": grid}, 24)["grid"]
+    lin = jnp.linspace(-1.0, 1.0, 24, dtype=jnp.float32)
+    pts = jnp.stack(jnp.meshgrid(lin, lin, lin, indexing="ij"),
+                    axis=-1).reshape(-1, 3)
+    want = trilinear(grid, pts).reshape(24, 24, 24, model.channels)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_eval_render_tile_order_round_trip():
+    """hw-tiled rendering must return the same image as scanline order
+    (perturb=False makes sampling order-invariant)."""
+    from nerf_tpu.models import PlenoxelsModel
+    from nerf_tpu.render.renderer import RenderSettings
+    from nerf_tpu.train.step import make_eval_render
+
+    rng = np.random.default_rng(8)
+    model = PlenoxelsModel(grid_res=16, sh_degree=0)
+    params = {"grid": jnp.asarray(
+        0.1 * rng.normal(size=(16, 16, 16, model.channels)).astype(np.float32)
+    )}
+    settings = RenderSettings(num_samples=8, perturb=False, chunk_size=64,
+                              white_background=True)
+    render = make_eval_render(model, settings, use_pallas=False)
+
+    h, w = 8, 16
+    o = np.zeros((h * w, 3), np.float32)
+    o[:, 2] = 4.0
+    i, j = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+    d = np.stack([(i - w / 2) / w, -(j - h / 2) / h, -np.ones_like(i)],
+                 axis=-1).reshape(-1, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    key = jax.random.key(0)
+
+    plain = render(params, None, o, d, key)
+    tiled = render(params, None, o, d, key, hw=(h, w))
+    np.testing.assert_allclose(np.asarray(tiled.rgb),
+                               np.asarray(plain.rgb), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tiled.depth),
+                               np.asarray(plain.depth), rtol=1e-6, atol=1e-6)
