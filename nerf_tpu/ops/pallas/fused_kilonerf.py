@@ -61,14 +61,8 @@ _EXTRA_ROWS = ("wts", "b1", "b2", "btf", "br1", "br2", "bts")
 
 
 def _layout(h: int, p_pad: int, d_pad: int):
-    mats = (("w1", p_pad), ("w2", h), ("wtf", h), ("wr1f", h),
-            ("wr1d", d_pad), ("wr2", h))
-    offs, row = {}, 0
-    for name, rows in mats:
-        offs[name] = (row, rows)
-        row += rows
-    offs["extras"] = (row, 8)
-    return offs, row + 8
+    # exactly the multi-expert layout at E=1
+    return _layout_multi(h, p_pad, d_pad, 1)
 
 
 def pack_params(params: dict, p_pad: int, d_pad: int, h: int) -> jax.Array:
@@ -108,22 +102,9 @@ def pack_params(params: dict, p_pad: int, d_pad: int, h: int) -> jax.Array:
 
 
 def _pieces(w, h, p_pad, d_pad):
-    """Static sublane slices of one expert's packed (R, h) block."""
-    offs, _ = _layout(h, p_pad, d_pad)
-
-    def mat(name):
-        r0, r = offs[name]
-        return w[r0:r0 + r]
-
-    e0 = offs["extras"][0]
-    extras = w[e0:e0 + 8]
-    row = lambda i: extras[i:i + 1]
-    return dict(
-        w1=mat("w1"), w2=mat("w2"), wtf=mat("wtf"), wr1f=mat("wr1f"),
-        wr1d=mat("wr1d"), wr2=mat("wr2"),
-        wts=row(0), b1=row(1), b2=row(2), btf=row(3), br1=row(4),
-        br2=row(5), bts=row(6),
-    )
+    """Static sublane slices of one expert's packed (R, h) block —
+    exactly the multi-expert slicing at E=1."""
+    return _pieces_multi(w, h, p_pad, d_pad, 1)
 
 
 def _forward_tile(loc8, dirs8, w, enc_p, enc_d, cdt):
@@ -373,8 +354,10 @@ def _slot_masks(loc8, h, p_pad, d_pad, e):
 
 
 def _forward_tile_multi(loc8, dirs8, w, enc_p, enc_d, red8, cdt,
-                        h, p_pad, d_pad, e):
-    """Slotted tiny-MLP chain for one tile of E experts' points."""
+                        h, p_pad, d_pad, e, need_rgb8=True):
+    """Slotted tiny-MLP chain for one tile of E experts' points.
+    ``need_rgb8=False`` (the backward recompute, which rebuilds the rgb
+    cotangent from ``g`` directly) skips the dead slot-sum dot."""
     mask_h, mask_p, mask_d, first = _slot_masks(loc8, h, p_pad, d_pad, e)
     penc = _encode(loc8, *enc_p)                  # (T, p_pad); col-3 zeroed
     denc = _encode(dirs8, *enc_d)
@@ -394,7 +377,13 @@ def _forward_tile_multi(loc8, dirs8, w, enc_p, enc_d, red8, cdt,
         _mm(feat, w["wr1f"], cdt) + _mm(denc_s, w["wr1d"], cdt) + w["br1"]
     )
     rgb_s = jax.nn.sigmoid(_mm(y, w["wr2"], cdt) + w["br2"])
-    rgb8 = _mm(rgb_s * mask_h, red8, cdt)         # (T, 8) slot-summed
+    rgb8 = None
+    if need_rgb8:
+        # pure 0/1 slot selection — stay f32/HIGHEST so the final colors
+        # are NOT bf16-quantized (the single-expert kernel never is)
+        rgb8 = jnp.dot(rgb_s * mask_h, red8,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     return dict(penc_s=penc_s, denc_s=denc_s, x1=x1, x2=x2,
                 sigma_pre=sigma_pre, feat=feat, y=y, rgb_s=rgb_s,
                 mask_h=mask_h, first=first), rgb8, sigma
@@ -441,6 +430,7 @@ def _bwd_kernel_multi(gid_ref, used_ref, loc_ref, dirs_ref, g_ref, *refs,
         loc8, dirs8, g = loc_ref[:], dirs_ref[:], g_ref[:]
         acts, _, _ = _forward_tile_multi(
             loc8, dirs8, w, enc_p, enc_d, red_ref[:], cdt, h, p_pad, d_pad, e,
+            need_rgb8=False,
         )
         mask_h = acts["mask_h"]
 
@@ -525,7 +515,14 @@ def make_fused_kilonerf_apply(model, tile_fwd: int = 256, tile_bwd: int = 256,
     e_per = experts_per_step
     if e_per is None:
         e_per = max(1, 128 // model.hidden_dim)
-    if e_per > 1 and model.num_networks % e_per == 0:
+        if model.num_networks % e_per:
+            e_per = 1                      # auto mode: quiet fallback
+    elif e_per > 1 and model.num_networks % e_per:
+        raise ValueError(
+            f"experts_per_step={e_per} does not divide "
+            f"num_networks={model.num_networks}"
+        )
+    if e_per > 1:
         return _make_multi_apply(model, tile_fwd, e_per, interpret)
     t = tile_fwd
     h = model.hidden_dim

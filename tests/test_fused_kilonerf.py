@@ -255,3 +255,27 @@ def test_multi_train_step_with_fused_kernel():
         losses.append(float(m["mse"]))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_multi_bf16_rgb_not_quantized():
+    """bf16 compute mode: the final rgb slot-sum stays f32, so multi
+    matches the single-expert kernel tightly (no output quantization)."""
+    model = _multi_model(compute_dtype="bfloat16")
+    params = model.init(jax.random.key(10))
+    multi = make_fused_kilonerf_apply(model, tile_fwd=16, tile_bwd=16,
+                                      interpret=True)
+    single = make_fused_kilonerf_apply(model, tile_fwd=16, tile_bwd=16,
+                                       interpret=True, experts_per_step=1)
+    pts, dirs = _data(60, seed=10)
+    rgb_m, _ = multi(params, pts, dirs)
+    rgb_s, _ = single(params, pts, dirs)
+    np.testing.assert_allclose(np.asarray(rgb_m), np.asarray(rgb_s),
+                               atol=2e-4)
+
+
+def test_multi_explicit_indivisible_raises():
+    import pytest
+
+    model = _model(grid_res=3)  # 27 networks
+    with pytest.raises(ValueError, match="does not divide"):
+        make_fused_kilonerf_apply(model, interpret=True, experts_per_step=4)
