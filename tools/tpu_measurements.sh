@@ -1,0 +1,33 @@
+#!/bin/sh
+# Full measurement sweep for the round's new kernels, run sequentially on
+# the single tunneled TPU (one holder at a time). Usage:
+#   sh tools/tpu_measurements.sh [logfile]
+LOG=${1:-/tmp/tpu_measure.log}
+cd /root/repo || exit 1
+
+run() {
+  echo "=== $* ===" >> "$LOG"
+  timeout 900 sh -c "$*" >> "$LOG" 2>&1
+  echo "--- exit=$? ---" >> "$LOG"
+}
+
+echo "measurement sweep started $(date -u)" >> "$LOG"
+
+# 1. headline train bench (regression check: ~159k rays/s)
+run "NERF_TPU_BENCH_ITERS=20 python bench.py"
+
+# 2. full-image render bench, MLP flagship (regression check: ~350k)
+run "NERF_TPU_BENCH_ITERS=5 NERF_TPU_BENCH_MODE=render python bench.py"
+
+# 3. grid family render: coherent kernel ON (the new number)...
+run "NERF_TPU_BENCH_ITERS=5 NERF_TPU_BENCH_MODE=render NERF_TPU_BENCH_MODEL=plenoxels python bench.py"
+# ...and OFF (the ~13k gather baseline, same harness)
+run "NERF_TPU_BENCH_ITERS=3 NERF_TPU_BENCH_MODE=render NERF_TPU_BENCH_MODEL=plenoxels NERF_TPU_NO_GRID_KERNEL=1 python bench.py"
+
+# 4. grid kernel microbench (tile/dtype sweep inside the tool)
+run "python tools/bench_grid_kernel.py"
+
+# 5. kilonerf train bench: multi-expert step (was 28.6k single-expert)
+run "NERF_TPU_BENCH_ITERS=10 NERF_TPU_BENCH_MODEL=kilonerf python bench.py"
+
+echo "measurement sweep done $(date -u)" >> "$LOG"
