@@ -290,6 +290,19 @@ def _on_tpu() -> bool:
         return False
 
 
+def _is_batched(x) -> bool:
+    """True when ``x`` is a vmap tracer: the kernel's scalar-prefetched
+    grid spec has no batching rule (same limitation as the KiloNeRF
+    grouped kernels), so vmapped callers — multiscene training vmaps
+    model.apply over the scene axis — must take the pure path."""
+    try:
+        from jax._src.interpreters import batching
+
+        return isinstance(x, batching.BatchTracer)
+    except Exception:  # pragma: no cover - private API moved
+        return False
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _trilinear_rays_impl(grid, points, tr, s_seg, cdt, prec, interpret):
     kernel_path, fits = _coherent_channels(
@@ -350,6 +363,7 @@ def trilinear_rays(grid: jnp.ndarray, points: jnp.ndarray,
         and r // _SUB >= 2
         and c <= _LANES
         and points.shape[0] * points.shape[1] >= tile_rays * seg_samples
+        and not (_is_batched(points) or _is_batched(grid))
     )
     if not usable:
         from nerf_tpu.ops.interp import trilinear

@@ -229,3 +229,25 @@ def test_eval_render_tile_order_round_trip():
                                np.asarray(plain.rgb), rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(tiled.depth),
                                np.asarray(plain.depth), rtol=1e-6, atol=1e-6)
+
+
+def test_vmap_falls_back_to_pure():
+    """vmapped callers (multiscene trains vmap model.apply over scenes)
+    must take the pure path: the scalar-prefetched kernel has no batching
+    rule. With the guard, vmap(force=True) still computes exact values."""
+    grid = jnp.asarray(
+        np.random.default_rng(11).normal(size=(2, 16, 16, 16, 4)),
+        jnp.float32,
+    )
+    pts = jnp.asarray(
+        np.random.default_rng(12).uniform(-1, 1, (2, 64, 8, 3)), jnp.float32
+    )
+
+    def f(g, p):
+        return trilinear_rays(g, p, force=True, interpret=True)
+
+    out = jax.vmap(f)(grid, pts)
+    for s in range(2):
+        want = trilinear(grid[s], pts[s].reshape(-1, 3)).reshape(64, 8, 4)
+        np.testing.assert_allclose(np.asarray(out[s]), np.asarray(want),
+                                   rtol=2e-6, atol=2e-6)
