@@ -364,6 +364,10 @@ def trilinear_rays(grid: jnp.ndarray, points: jnp.ndarray,
         and c <= _LANES
         and points.shape[0] * points.shape[1] >= tile_rays * seg_samples
         and not (_is_batched(points) or _is_batched(grid))
+        # multihost renders are sharded across processes (GSPMD cannot
+        # partition a pallas_call) and keep scanline ray order (loop.py
+        # passes hw=None), so there is no coherence to exploit anyway
+        and jax.process_count() == 1
     )
     if not usable:
         from nerf_tpu.ops.interp import trilinear
