@@ -113,6 +113,9 @@ def main(argv=None) -> None:
             apply_fn = baked.apply
         else:                         # plenoctree -> (PlenoxelsModel, params)
             baked_model, baked_params = baked
+            # pack the grid for the coherent kernel ONCE at bake time (the
+            # closure hides these params from make_eval_render's hook)
+            baked_params = baked_model.precompute(baked_params)
             apply_fn = lambda _p, pts, d: baked_model.apply(baked_params, pts, d)
         renderer = make_eval_render(model, settings, apply_fn=apply_fn,
                                     fused_render=None)

@@ -25,7 +25,7 @@ encoding. Plugs into the renderer/trainer through the standard
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -45,8 +45,12 @@ class FastNeRFModel:
     num_factors: int = 8           # D: rank of the rgb factorization
     compute_dtype: str = "float32"
     reference_init: bool = False   # strict parity: skip the density-bias guard
+    use_grid_kernel: bool = True   # threaded into the baked cache; false =
+                                   # pure gather path (use_pallas contract)
 
     name: str = "fastnerf"
+    wants_tile_order = True     # class traits, see plenoxels.py
+    eval_gather_bound = True
 
     @property
     def pos_in(self) -> int:
@@ -151,10 +155,18 @@ class FastNeRFModel:
         beta_grid = self.dir_weights(params, dirs).reshape(
             dir_res, 2 * dir_res, self.num_factors
         )
+        pos_grid = sigma_grid.reshape(r, r, r, 1 + 3 * self.num_factors)
+        packed_pos = None
+        from nerf_tpu.ops.pallas.fused_grid import pack_grid, packable
+
+        if self.use_grid_kernel and packable(pos_grid.shape):
+            packed_pos = pack_grid(pos_grid, jnp.bfloat16)
         return BakedFastNeRF(
-            pos_grid=sigma_grid.reshape(r, r, r, 1 + 3 * self.num_factors),
+            pos_grid=pos_grid,
             beta_grid=beta_grid,
             num_factors=self.num_factors,
+            use_grid_kernel=self.use_grid_kernel,
+            packed_pos=packed_pos,
         )
 
 
@@ -166,13 +178,18 @@ class BakedFastNeRF(NamedTuple):
     pos_grid: jax.Array    # (R, R, R, 1+3D)
     beta_grid: jax.Array   # (T, 2T, D)
     num_factors: int
+    use_grid_kernel: bool = True
+    packed_pos: Optional[jax.Array] = None  # pack_grid(pos_grid, bf16),
+                                            # computed once at bake time
+
+    wants_tile_order = True     # class trait, see plenoxels.py
 
     def apply(self, params, points: jax.Array, viewdirs: jax.Array):
         del params  # the grids ARE the parameters
         shape = points.shape[:-1]
         d = viewdirs.reshape(-1, 3)
 
-        if points.ndim == 3:
+        if points.ndim == 3 and self.use_grid_kernel:
             # Ray-structured eval queries ride the coherent brick-DMA
             # kernel (ops/pallas/fused_grid.py) when the rays are
             # block-ordered; incoherent batches fall back to the pure
@@ -181,7 +198,8 @@ class BakedFastNeRF(NamedTuple):
             # (~5e-3 rel) is the right default.
             from nerf_tpu.ops.pallas.fused_grid import trilinear_rays
 
-            vals = trilinear_rays(self.pos_grid, points).reshape(
+            vals = trilinear_rays(self.pos_grid, points,
+                                  packed=self.packed_pos).reshape(
                 -1, self.pos_grid.shape[-1]
             )
         else:

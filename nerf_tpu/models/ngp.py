@@ -54,6 +54,7 @@ class NGPModel:
     reference_init: bool = False  # strict parity: skip the density-bias guard
 
     name: str = "ngp"
+    eval_gather_bound = True    # hash-table gathers; eval chunks cap at 8k
 
     @property
     def enc_dim(self) -> int:

@@ -44,8 +44,11 @@ class PlenOctreeModel:
     sh_degree: int = 2
     compute_dtype: str = "float32"
     reference_init: bool = False   # strict parity: skip the density-bias guard
+    use_grid_kernel: bool = True   # threaded into the baked Plenoxels cache
 
     name: str = "plenoctree"
+    wants_tile_order = True     # class traits, see plenoxels.py
+    eval_gather_bound = True
 
     @property
     def pos_in(self) -> int:
@@ -123,7 +126,8 @@ class PlenOctreeModel:
         grid = vals.reshape(-1, 1 + 3 * self.sh_dim)[:n].reshape(
             r, r, r, 1 + 3 * self.sh_dim
         )
-        model = PlenoxelsModel(grid_res=r, sh_degree=self.sh_degree)
+        model = PlenoxelsModel(grid_res=r, sh_degree=self.sh_degree,
+                               use_grid_kernel=self.use_grid_kernel)
         return model, {"grid": grid}
 
 

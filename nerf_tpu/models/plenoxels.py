@@ -86,8 +86,17 @@ class PlenoxelsModel:
                                     # EVAL renders (~5e-3 rel; training
                                     # gradients always take the f32 pure
                                     # path); "float32" for exact eval
+    use_grid_kernel: bool = True    # false = always the pure gather path
+                                    # (use_pallas=false contract; also set
+                                    # by fit() on multi-device meshes —
+                                    # GSPMD cannot partition a pallas_call)
 
     name: str = "plenoxels"
+    # class traits (not dataclass fields): full-image renders reorder rays
+    # into pixel blocks for the coherent kernel; eval chunks cap at 8k
+    # (gather-layout temporaries OOM the 32k MLP-path tile)
+    wants_tile_order = True
+    eval_gather_bound = True
 
     @property
     def sh_dim(self) -> int:
@@ -106,6 +115,19 @@ class PlenoxelsModel:
             grid = grid.at[..., 0].set(raw)
         return {"grid": grid}
 
+    def precompute(self, params: dict) -> dict:
+        """Render-time prep: pre-pack the grid for the coherent kernel so
+        the repack runs once per render, not once per ray chunk
+        (make_eval_render calls this outside the lax.map tile loop)."""
+        if not self.use_grid_kernel or "_packed" in params:
+            return params
+        from nerf_tpu.ops.pallas.fused_grid import pack_grid, packable
+
+        if not packable(params["grid"].shape):
+            return params
+        dt = jnp.bfloat16 if self.interp_dtype == "bfloat16" else jnp.float32
+        return dict(params, _packed=pack_grid(params["grid"], dt))
+
     def apply(
         self, params: dict, points: jax.Array, viewdirs: jax.Array
     ) -> tuple[jax.Array, jax.Array]:
@@ -113,7 +135,7 @@ class PlenoxelsModel:
         Points pre-normalized to [-1,1] by the renderer."""
         shape = points.shape[:-1]
         d = viewdirs.reshape(-1, 3)
-        if points.ndim == 3:
+        if points.ndim == 3 and self.use_grid_kernel:
             # Ray-structured (R, S, 3) queries (the renderer's shape) ride
             # the coherent brick-DMA kernel on TPU when the batch is
             # spatially tiled (block-ordered eval rays; see
@@ -123,7 +145,8 @@ class PlenoxelsModel:
             from nerf_tpu.ops.pallas.fused_grid import trilinear_rays
 
             vals = trilinear_rays(
-                params["grid"], points, dtype=self.interp_dtype
+                params["grid"], points, dtype=self.interp_dtype,
+                packed=params.get("_packed"),
             ).reshape(-1, self.channels)
         else:
             vals = trilinear(params["grid"], points.reshape(-1, 3))  # (N, C)
@@ -146,9 +169,12 @@ class PlenoxelsModel:
         # (tile_rays=8 keeps a tile's y-span inside the 16^3 window even
         # for 2x upsamples with a misaligned window base; exact f32 —
         # grid values feed further training)
-        vals = trilinear_rays(
-            params["grid"], pts.reshape(new_res * new_res, new_res, 3),
-            tile_rays=8, dtype="float32",
-        )
+        if self.use_grid_kernel:
+            vals = trilinear_rays(
+                params["grid"], pts.reshape(new_res * new_res, new_res, 3),
+                tile_rays=8, dtype="float32",
+            )
+        else:
+            vals = trilinear(params["grid"], pts.reshape(-1, 3))
         return {"grid": vals.reshape(new_res, new_res, new_res,
                                      self.channels)}

@@ -47,6 +47,9 @@ def model_from_config(cfg) -> object:
         dir_encoding_dim=cfg.dir_encoding_dim,
         compute_dtype=cfg.compute_dtype,
         reference_init=cfg.reference_init,
+        # use_pallas=false is the documented pure-JAX reference tier; the
+        # grid families' coherent kernel honors it through this field
+        use_grid_kernel=cfg.use_pallas,
     )
     if cfg.grid_res > 0:  # grid families keep their own default otherwise
         common["grid_res"] = cfg.grid_res

@@ -73,6 +73,14 @@ _ROWS = _SUB ** 3
 # ------------------------------------------------------------------ packing
 
 
+def packable(shape) -> bool:
+    """Whether a (R, R, R, C) grid satisfies the kernel's static shape
+    constraints (callers gate pre-packing on this; trilinear_rays itself
+    falls back for unpackable grids)."""
+    r, c = shape[0], shape[-1]
+    return r % _SUB == 0 and r // _SUB >= 2 and c <= _LANES
+
+
 def pack_grid(grid: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """(R, R, R, C) -> (NB, 512, 32) with aligned 8^3 sub-bricks contiguous.
 
@@ -166,11 +174,15 @@ def _plan(gx, gy, gz, t_tiles, tr, g_segs, s_seg, nb):
     hi = [jnp.max(a, axis=(2, 3)) for a in (gx, gy, gz)]
     b = [jnp.clip(jnp.floor(v / _SUB).astype(jnp.int32), 0, nb - 2)
          for v in lo]
-    # cells touched go up to floor(hi)+1; the window covers B*8 .. B*8+15
+    # The window serves cells B*8 .. B*8+15. A sample at coordinate g needs
+    # nonzero-weight stencil cells floor(g) and, when frac(g) > 0,
+    # floor(g)+1 — both <= B*8+15 exactly when g <= B*8+15 (an integral
+    # g's +1 corner has zero tent weight, so the top border cell r-1,
+    # where out-of-range samples clamp, still fits).
     fits = jnp.asarray(True)
     for a in range(3):
         fits = jnp.logical_and(
-            fits, jnp.all(hi[a] <= (b[a] * _SUB + (2 * _SUB - 2)).astype(
+            fits, jnp.all(hi[a] <= (b[a] * _SUB + (2 * _SUB - 1)).astype(
                 hi[a].dtype))
         )
     nsteps = t_tiles * g_segs
@@ -238,10 +250,13 @@ def _run_kernel(packed, bases, blks, gx, gy, gz, *, tb, sps, nsteps, cdt,
 
 
 def _coherent_channels(grid, points, tr, s_seg, cdt, prec, interpret,
-                       sps: int = 2):
+                       sps: int = 2, packed=None):
     """Kernel-path forward: (R_rays, S, 3) points in [-1,1] ->
     ((R_rays, S, C), fits). Exact trilinear when ``fits``; garbage when
-    not (callers cond on ``fits``)."""
+    not (callers cond on ``fits``). ``packed`` (from ``pack_grid``) skips
+    the per-call repack — callers that render many chunks from one grid
+    pack once (the repack moves ~R^3*C*4 bytes; inside render_image's
+    lax.map chunk loop it would re-run per chunk per pass)."""
     r, c = grid.shape[0], grid.shape[-1]
     nb = r // _SUB
     num_rays, s = points.shape[0], points.shape[1]
@@ -264,11 +279,13 @@ def _coherent_channels(grid, points, tr, s_seg, cdt, prec, interpret,
     bases, blks, fits = _plan(gx, gy, gz, t_tiles, tr, g_segs, s_seg, nb)
 
     def kernel_path():
-        packed = pack_grid(grid, jnp.bfloat16 if cdt == jnp.bfloat16
+        pk = packed
+        if pk is None:
+            pk = pack_grid(grid, jnp.bfloat16 if cdt == jnp.bfloat16
                            else jnp.float32)
         tb = tr * s_seg
         out = _run_kernel(
-            packed, bases, blks, gx, gy, gz, tb=tb, sps=sps,
+            pk, bases, blks, gx, gy, gz, tb=tb, sps=sps,
             nsteps=t_tiles * g_segs, cdt=cdt, prec=prec, interpret=interpret,
         )
         out = out.reshape(t_tiles, g_segs, tr, s_seg, _LANES)
@@ -303,10 +320,15 @@ def _is_batched(x) -> bool:
         return False
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _trilinear_rays_impl(grid, points, tr, s_seg, cdt, prec, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _trilinear_rays_impl(grid, packed, points, tr, s_seg, cdt, prec,
+                         interpret):
+    """``packed``, when given, MUST equal ``pack_grid(grid, <cdt dtype>)``
+    — the forward reads it, while gradients flow through ``grid`` via the
+    pure backward (packed's cotangent is zero, which is the correct total
+    derivative exactly under that contract)."""
     kernel_path, fits = _coherent_channels(
-        grid, points, tr, s_seg, cdt, prec, interpret
+        grid, points, tr, s_seg, cdt, prec, interpret, packed=packed
     )
 
     def pure_path():
@@ -318,19 +340,22 @@ def _trilinear_rays_impl(grid, points, tr, s_seg, cdt, prec, interpret):
     return jax.lax.cond(fits, kernel_path, pure_path)
 
 
-def _impl_fwd(grid, points, tr, s_seg, cdt, prec, interpret):
-    out = _trilinear_rays_impl(grid, points, tr, s_seg, cdt, prec, interpret)
-    return out, (grid, points)
+def _impl_fwd(grid, packed, points, tr, s_seg, cdt, prec, interpret):
+    out = _trilinear_rays_impl(grid, packed, points, tr, s_seg, cdt, prec,
+                               interpret)
+    return out, (grid, packed, points)
 
 
 def _impl_bwd(tr, s_seg, cdt, prec, interpret, res, g):
     from nerf_tpu.ops.interp import _trilinear_bwd
 
-    grid, points = res
+    grid, packed, points = res
     gg, gp = _trilinear_bwd(
         (grid, points.reshape(-1, 3)), g.reshape(-1, grid.shape[-1])
     )
-    return gg, gp.reshape(points.shape)
+    g_packed = None if packed is None else jnp.zeros(packed.shape,
+                                                     packed.dtype)
+    return gg, g_packed, gp.reshape(points.shape)
 
 
 _trilinear_rays_impl.defvjp(_impl_fwd, _impl_bwd)
@@ -340,7 +365,8 @@ def trilinear_rays(grid: jnp.ndarray, points: jnp.ndarray,
                    tile_rays: int = 64, seg_samples: int = 8,
                    dtype: str = "bfloat16",
                    interpret: bool = False,
-                   force: bool = False) -> jnp.ndarray:
+                   force: bool = False,
+                   packed: jnp.ndarray | None = None) -> jnp.ndarray:
     """Trilinear interpolation of ``grid`` (R, R, R, C) at ray-structured
     ``points`` (R_rays, S, 3) in [-1,1]^3 — exact-semantics drop-in for
     ``trilinear(grid, points.reshape(-1,3)).reshape(R_rays, S, C)``.
@@ -351,7 +377,9 @@ def trilinear_rays(grid: jnp.ndarray, points: jnp.ndarray,
     pure gather path at trace- or run-time. ``dtype`` picks the interp
     matmul precision: "bfloat16" (fast; ~3e-3 relative) or "float32"
     (exact to ~1e-6). ``force`` skips the backend check (tests use it with
-    ``interpret=True``)."""
+    ``interpret=True``). ``packed``, when given, must be
+    ``pack_grid(grid, <matching dtype>)`` — pack once per render instead
+    of per chunk (models' ``precompute`` hooks do this)."""
     import os
 
     r, c = grid.shape[0], grid.shape[-1]
@@ -378,8 +406,16 @@ def trilinear_rays(grid: jnp.ndarray, points: jnp.ndarray,
         cdt, prec = jnp.float32, HIGHEST
     else:
         cdt, prec = jnp.bfloat16, jax.lax.Precision.DEFAULT
+    if packed is not None:
+        nb = r // _SUB
+        want = (nb * nb * nb, _ROWS, _LANES)
+        if packed.shape != want:
+            raise ValueError(
+                f"packed grid shape {packed.shape} != {want} "
+                f"(must be pack_grid(grid))"
+            )
     return _trilinear_rays_impl(
-        grid, points, tile_rays, seg_samples, cdt, prec, interpret
+        grid, packed, points, tile_rays, seg_samples, cdt, prec, interpret
     )
 
 

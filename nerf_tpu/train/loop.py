@@ -69,7 +69,14 @@ def render_settings_from_config(cfg: Config, ndc: bool = False) -> RenderSetting
 # materialize (chunk*S, 2, C) temporaries in lane-padded layouts, so the
 # 32k MLP-path eval tile OOMs HBM at 128^3x28 grids; 8192 both fits and
 # measures within noise of 16k (46.2k vs 46.0k rays/s, 400x400).
-_GATHER_FAMILIES = frozenset({"plenoxels", "fastnerf", "ngp", "plenoctree"})
+def _gather_bound(model_type: str) -> bool:
+    """Grid/hash families declare the trait on their class (see
+    plenoxels.py 'class traits') so new families cannot silently miss
+    this eval-chunk cap."""
+    from nerf_tpu.models.registry import MODEL_REGISTRY
+
+    cls = MODEL_REGISTRY.get(model_type.lower())
+    return bool(getattr(cls, "eval_gather_bound", False))
 
 
 def resolve_eval_chunk(cfg: Config) -> int:
@@ -80,8 +87,8 @@ def resolve_eval_chunk(cfg: Config) -> int:
     tile is 32768 (fewer lax.map iterations amortize the per-tile
     sample_pdf/merge glue: 463 -> 445 ms at 400x400 hierarchical) and HBM
     holds it easily, so auto (eval_chunk_size=0) picks that — except for
-    the gather-bound grid families, which cap at 8192 (see
-    _GATHER_FAMILIES). An explicit eval_chunk_size always wins, and
+    the gather-bound grid families, which cap at 8192 (the
+    eval_gather_bound class trait). An explicit eval_chunk_size always wins, and
     non-TPU backends keep chunk_size.
     """
     if cfg.eval_chunk_size > 0:
@@ -92,7 +99,7 @@ def resolve_eval_chunk(cfg: Config) -> int:
         on_tpu = False
     if not on_tpu:
         return cfg.chunk_size
-    if cfg.model_type in _GATHER_FAMILIES:
+    if _gather_bound(cfg.model_type):
         return 8192
     return max(cfg.chunk_size, 32768)
 
@@ -189,6 +196,13 @@ def fit(
 
     # --- model / state ---
     model, tx, state = create_train_state(cfg, k_init)
+    if replicated is not None and getattr(model, "use_grid_kernel", False):
+        # GSPMD cannot partition a pallas_call: on a multi-device mesh the
+        # sharded train/eval steps must trace the grid families' pure
+        # gather path (params are plain arrays — replace() is free)
+        import dataclasses
+
+        model = dataclasses.replace(model, use_grid_kernel=False)
     if replicated is not None:
         # Place the fresh state replicated on the (possibly multi-process)
         # mesh. Init is deterministic from cfg.seed, so every process holds

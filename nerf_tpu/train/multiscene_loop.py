@@ -79,6 +79,10 @@ def fit_multiscene(
     )
 
     model = model_from_config(cfg)
+    if getattr(model, "use_grid_kernel", False):
+        # the per-scene step is vmapped and (scene x data) sharded — both
+        # unsupported by the scalar-prefetched grid kernel
+        model = dataclasses.replace(model, use_grid_kernel=False)
     tx = make_optimizer(cfg)
     k_init, k_train = jax.random.split(key)
     params = stack_scenes(

@@ -282,14 +282,6 @@ def make_scan_train_step(
     return jax.jit(step_n, donate_argnums=(0,) if donate else ())
 
 
-# Families whose field evaluation is dense-grid trilinear interpolation:
-# full-image renders permute their rays into 8x8 pixel blocks so the
-# coherent brick-DMA kernel (ops/pallas/fused_grid.py) engages instead of
-# the per-row gather path. Ray order is semantically neutral (each ray
-# renders independently); the permutation round-trips on the host.
-_TRILERP_FAMILIES = frozenset({"plenoxels", "fastnerf", "plenoctree"})
-
-
 def make_eval_render(
     model,
     settings: RenderSettings,
@@ -311,10 +303,22 @@ def make_eval_render(
         apply_fn = resolve_apply_fn(model, use_pallas)
         if fused_render is None:
             fused_render = resolve_fused_render(model, settings, use_pallas)
-    tile_order = getattr(model, "name", "") in _TRILERP_FAMILIES
+    # Grid families declare wants_tile_order (ray order is semantically
+    # neutral — each ray renders independently; the permutation round-trips
+    # on the host). Pointless when the kernel is disabled (pure tier).
+    tile_order = (getattr(model, "wants_tile_order", False)
+                  and getattr(model, "use_grid_kernel", True))
+    precompute = getattr(model, "precompute", None)
+    perm_cache: dict = {}
 
     @jax.jit
     def _render(params, fine_params, rays_o, rays_d, viewdirs, key):
+        if precompute is not None:
+            # render-time prep (e.g. the grid families' pre-packed bricks)
+            # runs ONCE here, outside render_image's lax.map chunk loop
+            params = precompute(params)
+            if fine_params:
+                fine_params = precompute(fine_params)
         return render_image(
             apply_fn,
             params,
@@ -331,17 +335,19 @@ def make_eval_render(
                hw=None):
         if viewdirs is None:
             viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        perm = None
+        perm = inv = None
         if tile_order and hw is not None and hw[0] * hw[1] == rays_o.shape[0]:
-            from nerf_tpu.ops.pallas.fused_grid import tile_ray_order
+            if hw not in perm_cache:
+                from nerf_tpu.ops.pallas.fused_grid import tile_ray_order
 
-            perm = tile_ray_order(hw[0], hw[1])
+                p = tile_ray_order(hw[0], hw[1])
+                perm_cache[hw] = (p, np.argsort(p))
+            perm, inv = perm_cache[hw]
             rays_o = jnp.asarray(np.asarray(rays_o)[perm])
             rays_d = jnp.asarray(np.asarray(rays_d)[perm])
             viewdirs = jnp.asarray(np.asarray(viewdirs)[perm])
         out = _render(params, fine_params, rays_o, rays_d, viewdirs, key)
         if perm is not None:
-            inv = np.argsort(perm)
             out = type(out)(*(np.asarray(x)[inv] for x in out))
         return out
 

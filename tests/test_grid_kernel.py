@@ -87,9 +87,10 @@ def test_bfloat16_mode_close():
 
 def test_incoherent_batch_falls_back_exactly():
     # points scattered over the whole volume: the plan's fits bit is False
-    # and the lax.cond takes the pure path -> exact equality
+    # and the lax.cond takes the pure path -> exact equality. (r must be
+    # >16: a 16^3 grid IS one window, so every batch over it fits.)
     rng = np.random.default_rng(3)
-    r, c = 16, 4
+    r, c = 32, 4
     grid = jnp.asarray(rng.normal(size=(r, r, r, c)).astype(np.float32))
     pts = jnp.asarray(
         rng.uniform(-1.0, 1.0, size=(64, 8, 3)).astype(np.float32)
@@ -251,3 +252,128 @@ def test_vmap_falls_back_to_pure():
         want = trilinear(grid[s], pts[s].reshape(-1, 3)).reshape(64, 8, 4)
         np.testing.assert_allclose(np.asarray(out[s]), np.asarray(want),
                                    rtol=2e-6, atol=2e-6)
+
+
+def test_fits_engages_on_render_geometry():
+    """The window-fit bit must be TRUE for the geometry the kernel was
+    built for: tile_ray_order'd camera rays through normalize_positions —
+    including border-clamped samples (coordinate r-1 is in-window: its +1
+    stencil corner has zero tent weight). Guards against the fits gate
+    silently parking every eval render on the pure path."""
+    from nerf_tpu.data.rays import compute_rays_single
+    from nerf_tpu.ops.sampling import normalize_positions
+    from nerf_tpu.ops.pallas.fused_grid import _coherent_channels
+
+    h = w = 64
+    focal = 0.5 * w / np.tan(0.5 * 0.6911)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 4.0  # camera at +z looking down -z
+    ro, rd = compute_rays_single(h, w, focal, c2w)
+    perm = tile_ray_order(h, w)
+    ro, rd = ro[perm], rd[perm]
+    near, far = 2.0, 6.0
+    s = 64
+    t = np.linspace(near, far, s, dtype=np.float32)
+    pts = ro[:, None, :] + t[None, :, None] * rd[:, None, :]
+    pts = normalize_positions(jnp.asarray(pts), near, far)  # [-1, 1], with
+    # lateral exits clamped inside trilinear_rays' cell mapping
+
+    grid = jnp.zeros((32, 32, 32, 4), jnp.float32)
+    for chunk in range(0, h * w, 8192):
+        _, fits = _coherent_channels(
+            grid, pts[chunk:chunk + 8192], 64, 8, jnp.float32,
+            jax.lax.Precision.HIGHEST, False,
+        )
+        assert bool(fits), f"chunk at {chunk} did not fit"
+
+
+def test_fits_engages_on_upsample_lines():
+    """PlenoxelsModel.upsample queries linspace(-1,1) lines whose +1.0
+    endpoint maps to the top border cell exactly — it must fit."""
+    from nerf_tpu.ops.pallas.fused_grid import _coherent_channels
+
+    grid = jnp.zeros((16, 16, 16, 4), jnp.float32)
+    new_res = 32
+    lin = jnp.linspace(-1.0, 1.0, new_res, dtype=jnp.float32)
+    pts = jnp.stack(jnp.meshgrid(lin, lin, lin, indexing="ij"), axis=-1)
+    pts = pts.reshape(new_res * new_res, new_res, 3)
+    _, fits = _coherent_channels(
+        grid, pts, 8, 8, jnp.float32, jax.lax.Precision.HIGHEST, False,
+    )
+    assert bool(fits)
+
+
+def test_use_pallas_false_reaches_grid_families():
+    """use_pallas=false is the documented pure-JAX reference tier; the
+    grid families honor it through the use_grid_kernel field, threaded
+    from config through baking."""
+    from nerf_tpu.config import Config
+    from nerf_tpu.models.registry import model_from_config
+
+    cfg = Config(model_type="plenoxels", use_pallas=False)
+    model = model_from_config(cfg)
+    assert model.use_grid_kernel is False
+
+    cfg = Config(model_type="fastnerf", use_pallas=False)
+    fn = model_from_config(cfg)
+    assert fn.use_grid_kernel is False
+    baked = fn.bake(fn.init(jax.random.key(0)), grid_res=16, dir_res=4)
+    assert baked.use_grid_kernel is False
+
+    cfg = Config(model_type="plenoctree", use_pallas=False)
+    poc = model_from_config(cfg)
+    baked_model, _ = poc.bake(poc.init(jax.random.key(0)), grid_res=16)
+    assert baked_model.use_grid_kernel is False
+
+
+def test_packed_matches_unpacked():
+    """Passing a pre-packed grid (the once-per-render hoist) computes the
+    same values and the same gradients as packing inside."""
+    from nerf_tpu.ops.pallas.fused_grid import pack_grid
+
+    rng = np.random.default_rng(13)
+    r, c = 16, 4
+    grid = jnp.asarray(rng.normal(size=(r, r, r, c)).astype(np.float32))
+    pts = _coherent_points(rng, r, num_rays=64, s=8)
+    packed = pack_grid(grid, jnp.float32)
+
+    a = trilinear_rays(grid, pts, dtype="float32", force=True,
+                       interpret=True)
+    b = trilinear_rays(grid, pts, dtype="float32", force=True,
+                       interpret=True, packed=packed)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+
+    cot = jnp.asarray(rng.normal(size=(64, 8, c)).astype(np.float32))
+    ga = jax.grad(lambda g: jnp.sum(trilinear_rays(
+        g, pts, dtype="float32", force=True, interpret=True) * cot))(grid)
+    gb = jax.grad(lambda g: jnp.sum(trilinear_rays(
+        g, pts, dtype="float32", force=True, interpret=True,
+        packed=pack_grid(g, jnp.float32)) * cot))(grid)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_plenoxels_precompute_roundtrip():
+    from nerf_tpu.models import PlenoxelsModel
+
+    rng = np.random.default_rng(14)
+    model = PlenoxelsModel(grid_res=16, sh_degree=1, interp_dtype="float32")
+    params = {"grid": jnp.asarray(
+        rng.normal(size=(16, 16, 16, model.channels)).astype(np.float32)
+    )}
+    pre = model.precompute(params)
+    assert "_packed" in pre
+    pts = jnp.asarray(rng.uniform(-1, 1, size=(32, 8, 3)).astype(np.float32))
+    d = rng.normal(size=(32, 8, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    rgb_a, sig_a = model.apply(params, pts, d)
+    rgb_b, sig_b = model.apply(pre, pts, d)
+    np.testing.assert_allclose(np.asarray(rgb_a), np.asarray(rgb_b),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sig_a), np.asarray(sig_b),
+                               rtol=1e-6, atol=1e-6)
+    # unpackable grids skip the hook
+    m9 = PlenoxelsModel(grid_res=9, sh_degree=1)
+    p9 = {"grid": jnp.zeros((9, 9, 9, m9.channels), jnp.float32)}
+    assert "_packed" not in m9.precompute(p9)
