@@ -60,3 +60,35 @@ def linear(params: dict, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
 
 def param_count(params) -> int:
     return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+
+
+def skip_trunk_init(keys, pos_in: int, hidden: int, head_out: int,
+                    reference_init: bool) -> dict:
+    """The shared 5+3-layer skip-connected field trunk used by the
+    grid-bakeable families (FastNeRF's F_pos, PlenOctrees' NeRF-SH) —
+    the reference NeRF trunk shape (models.py:9-75) with a family-specific
+    head width. Head column 0 is the density channel; the same dead-ReLU
+    bias guard as models/nerf.py:53-61 applies unless ``reference_init``.
+    ``keys`` is an iterator of PRNG keys (8 are consumed)."""
+    trunk1 = [linear_init(next(keys), pos_in, hidden)]
+    trunk1 += [linear_init(next(keys), hidden, hidden) for _ in range(4)]
+    trunk2 = [linear_init(next(keys), hidden + pos_in, hidden)]
+    trunk2 += [linear_init(next(keys), hidden, hidden) for _ in range(2)]
+    head = linear_init(next(keys), hidden, head_out)
+    if not reference_init:
+        head["b"] = head["b"].at[0].set(0.5)
+    return {"trunk1": trunk1, "trunk2": trunk2, "head": head}
+
+
+def skip_trunk_apply(params: dict, p_enc, compute_dtype):
+    """Forward of ``skip_trunk_init``'s trunk on encoded positions:
+    returns (sigma (...,), tail (..., head_out-1)) — relu density from
+    head column 0, raw family-specific tail (rgb factors / SH coeffs)."""
+    x = p_enc
+    for lyr in params["trunk1"]:
+        x = jax.nn.relu(linear(lyr, x, compute_dtype))
+    x = jnp.concatenate([x, p_enc], axis=-1)
+    for lyr in params["trunk2"]:
+        x = jax.nn.relu(linear(lyr, x, compute_dtype))
+    x = linear(params["head"], x, compute_dtype)
+    return jax.nn.relu(x[..., 0]), x[..., 1:]

@@ -30,7 +30,12 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from nerf_tpu.models.common import linear, linear_init
+from nerf_tpu.models.common import (
+    linear,
+    linear_init,
+    skip_trunk_apply,
+    skip_trunk_init,
+)
 from nerf_tpu.models.encoding import encoded_dim, positional_encoding
 from nerf_tpu.ops.interp import bilinear as _bilinear
 from nerf_tpu.ops.interp import trilinear as _trilinear
@@ -63,22 +68,14 @@ class FastNeRFModel:
     def init(self, key: jax.Array) -> dict:
         h, d = self.hidden_dim, self.num_factors
         keys = iter(jax.random.split(key, 16))
-        trunk1 = [linear_init(next(keys), self.pos_in, h)]
-        trunk1 += [linear_init(next(keys), h, h) for _ in range(4)]
-        trunk2 = [linear_init(next(keys), h + self.pos_in, h)]
-        trunk2 += [linear_init(next(keys), h, h) for _ in range(2)]
-        # head: [sigma, D x 3 rgb factors]
-        head = linear_init(next(keys), h, 1 + 3 * d)
-        if not self.reference_init:
-            # density channel is column 0 here (same dead-ReLU guard as
-            # models/nerf.py:53-61)
-            head["b"] = head["b"].at[0].set(0.5)
-        dir_net = [
+        # shared skip trunk; head = [sigma, D x 3 rgb factors]
+        params = skip_trunk_init(keys, self.pos_in, h, 1 + 3 * d,
+                                 self.reference_init)
+        params["dir"] = [
             linear_init(next(keys), self.dir_in, self.dir_hidden_dim),
             linear_init(next(keys), self.dir_hidden_dim, d),
         ]
-        return {"trunk1": trunk1, "trunk2": trunk2, "head": head,
-                "dir": dir_net}
+        return params
 
     # ------------------------------------------------------------- factors
 
@@ -90,15 +87,8 @@ class FastNeRFModel:
         Points are expected pre-normalized to [-1,1] by the renderer."""
         cdt = jnp.dtype(self.compute_dtype)
         p_enc = positional_encoding(points, self.pos_encoding_dim)
-        x = p_enc
-        for lyr in params["trunk1"]:
-            x = jax.nn.relu(linear(lyr, x, cdt))
-        x = jnp.concatenate([x, p_enc], axis=-1)
-        for lyr in params["trunk2"]:
-            x = jax.nn.relu(linear(lyr, x, cdt))
-        x = linear(params["head"], x, cdt)
-        sigma = jax.nn.relu(x[..., 0])
-        factors = x[..., 1:].reshape(*x.shape[:-1], self.num_factors, 3)
+        sigma, tail = skip_trunk_apply(params, p_enc, cdt)
+        factors = tail.reshape(*tail.shape[:-1], self.num_factors, 3)
         return sigma, factors
 
     def dir_weights(self, params: dict, viewdirs: jax.Array) -> jax.Array:

@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from nerf_tpu.models.common import linear, linear_init
+from nerf_tpu.models.common import skip_trunk_apply, skip_trunk_init
 from nerf_tpu.models.encoding import encoded_dim, positional_encoding
 from nerf_tpu.models.plenoxels import PlenoxelsModel, sh_basis
 
@@ -59,17 +59,10 @@ class PlenOctreeModel:
         return (self.sh_degree + 1) ** 2
 
     def init(self, key: jax.Array) -> dict:
-        h = self.hidden_dim
         keys = iter(jax.random.split(key, 12))
-        trunk1 = [linear_init(next(keys), self.pos_in, h)]
-        trunk1 += [linear_init(next(keys), h, h) for _ in range(4)]
-        trunk2 = [linear_init(next(keys), h + self.pos_in, h)]
-        trunk2 += [linear_init(next(keys), h, h) for _ in range(2)]
-        head = linear_init(next(keys), h, 1 + 3 * self.sh_dim)
-        if not self.reference_init:
-            # density channel is column 0 (dead-ReLU guard, models/nerf.py:53-61)
-            head["b"] = head["b"].at[0].set(0.5)
-        return {"trunk1": trunk1, "trunk2": trunk2, "head": head}
+        # shared skip trunk; head = [sigma, 3 x L SH coefficients]
+        return skip_trunk_init(keys, self.pos_in, self.hidden_dim,
+                               1 + 3 * self.sh_dim, self.reference_init)
 
     def sh_field(
         self, params: dict, points: jax.Array
@@ -78,15 +71,8 @@ class PlenOctreeModel:
         leaf stores. Points pre-normalized to [-1,1]."""
         cdt = jnp.dtype(self.compute_dtype)
         p_enc = positional_encoding(points, self.pos_encoding_dim)
-        x = p_enc
-        for lyr in params["trunk1"]:
-            x = jax.nn.relu(linear(lyr, x, cdt))
-        x = jnp.concatenate([x, p_enc], axis=-1)
-        for lyr in params["trunk2"]:
-            x = jax.nn.relu(linear(lyr, x, cdt))
-        x = linear(params["head"], x, cdt)
-        sigma = jax.nn.relu(x[..., 0])
-        sh = x[..., 1:].reshape(*x.shape[:-1], 3, self.sh_dim)
+        sigma, tail = skip_trunk_apply(params, p_enc, cdt)
+        sh = tail.reshape(*tail.shape[:-1], 3, self.sh_dim)
         return sigma, sh
 
     def apply(
