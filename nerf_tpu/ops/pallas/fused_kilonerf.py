@@ -66,39 +66,10 @@ def _layout(h: int, p_pad: int, d_pad: int):
 
 
 def pack_params(params: dict, p_pad: int, d_pad: int, h: int) -> jax.Array:
-    """KiloNeRFModel pytree -> one (G^3, R, h) float32 block per expert
-    (the compute-dtype cast happens once per call inside the vjp)."""
-    g = params["l1"]["w"].shape[0]
-    offs, total = _layout(h, p_pad, d_pad)
-
-    def rows(w, r):
-        return jnp.pad(w, ((0, 0), (0, r - w.shape[1]), (0, 0)))
-
-    wt = params["trunk"]["w"]                     # (G, h, h+1)
-    wr1 = params["rgb1"]["w"]                     # (G, h + real_d, h)
-    mats = [
-        rows(params["l1"]["w"], p_pad),
-        params["l2"]["w"],
-        wt[:, :, :h],
-        wr1[:, :h],
-        rows(wr1[:, h:], d_pad),
-        jnp.pad(params["rgb2"]["w"], ((0, 0), (0, 0), (0, h - 3))),
-    ]
-    pad_cols = lambda v: jnp.pad(v, ((0, 0), (0, h - v.shape[1])))
-    extras = jnp.stack(
-        [
-            wt[:, :, h],                          # wts (G, h)
-            params["l1"]["b"],
-            params["l2"]["b"],
-            params["trunk"]["b"][:, :h],          # btf
-            params["rgb1"]["b"],
-            pad_cols(params["rgb2"]["b"]),        # br2
-            pad_cols(params["trunk"]["b"][:, h:]),  # bts
-            jnp.zeros((g, h), jnp.float32),
-        ],
-        axis=1,
-    )
-    return jnp.concatenate(mats + [extras], axis=1)
+    """KiloNeRFModel pytree -> one (G^3, R, h) float32 block per expert —
+    exactly the multi-expert packing at E=1 (the compute-dtype cast
+    happens once per call inside the vjp)."""
+    return pack_params_multi(params, p_pad, d_pad, h, 1)
 
 
 def _pieces(w, h, p_pad, d_pad):
@@ -522,147 +493,14 @@ def make_fused_kilonerf_apply(model, tile_fwd: int = 256, tile_bwd: int = 256,
             f"experts_per_step={e_per} does not divide "
             f"num_networks={model.num_networks}"
         )
-    if e_per > 1:
-        return _make_multi_apply(model, tile_fwd, e_per, interpret)
-    t = tile_fwd
-    h = model.hidden_dim
-    g3 = model.num_networks
-    real_p = 3 * (1 + 2 * model.pos_encoding_dim)
-    real_d = 3 * (1 + 2 * model.dir_encoding_dim)
-    p_pad = _round_up(real_p, 8)
-    d_pad = _round_up(real_d, 8)
-    cdt = jnp.dtype(model.compute_dtype)
-    _, pack_rows = _layout(h, p_pad, d_pad)
-
-    def enc8(num_freqs, pad):
-        e, s, phase, mask = _enc_consts(num_freqs, 3, pad)
-        pad8 = lambda a: np.pad(a, ((0, 5), (0, 0)))  # 3 rows -> 8 sublanes
-        return (jnp.asarray(pad8(e)), jnp.asarray(pad8(s)),
-                jnp.asarray(phase[None, :]), jnp.asarray(mask[None, :]))
-
-    enc_args = enc8(model.pos_encoding_dim, p_pad) \
-        + enc8(model.dir_encoding_dim, d_pad)
-    enc_specs = [
-        pl.BlockSpec(a.shape, lambda i, gid, used: (0, 0),
-                     memory_space=pltpu.VMEM)
-        for a in enc_args
-    ]
-
-    def row_spec(width):
-        return pl.BlockSpec((t, width), lambda i, gid, used: (i, 0),
-                            memory_space=pltpu.VMEM)
-
-    pack_spec = pl.BlockSpec((1, pack_rows, h),
-                             lambda i, gid, used: (gid[i], 0, 0),
-                             memory_space=pltpu.VMEM)
-
-    comp = pltpu.CompilerParams(
-        dimension_semantics=("arbitrary",),
-        vmem_limit_bytes=100 * 1024 * 1024,
-    )
-    mm_cols = p_pad * h + h * h + h * (h + 1) + (h + d_pad) * h + h * h
-    kargs = dict(cdt=cdt, h=h, p_pad=p_pad, d_pad=d_pad)
-
-    def _run_fwd(wc, gid, used, loc8, dirs8):
-        nt = loc8.shape[0]
-        return pl.pallas_call(
-            functools.partial(_fwd_kernel, **kargs),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=(nt // t,),
-                in_specs=[row_spec(8), row_spec(8)] + enc_specs + [pack_spec],
-                out_specs=row_spec(8),
-            ),
-            out_shape=jax.ShapeDtypeStruct((nt, 8), jnp.float32),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * nt * mm_cols,
-                bytes_accessed=nt * 24 * 4,
-                transcendentals=nt * (p_pad + d_pad + 8),
-            ),
-            compiler_params=comp,
-            interpret=interpret,
-        )(gid, used, loc8, dirs8, *enc_args, wc)
-
-    @jax.custom_vjp
-    def fused(wpack, gid, used, loc8, dirs8):
-        return _run_fwd(wpack.astype(cdt), gid, used, loc8, dirs8)
-
-    def fused_fwd(wpack, gid, used, loc8, dirs8):
-        wc = wpack.astype(cdt)
-        return _run_fwd(wc, gid, used, loc8, dirs8), (wc, gid, used, loc8, dirs8)
-
-    def fused_bwd(res, g):
-        wc, gid, used, loc8, dirs8 = res
-        nt = loc8.shape[0]
-        gpack = pl.pallas_call(
-            functools.partial(_bwd_kernel, **kargs),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=(nt // t,),
-                in_specs=[row_spec(8), row_spec(8), row_spec(8)]
-                + enc_specs + [pack_spec],
-                out_specs=pack_spec,
-            ),
-            out_shape=jax.ShapeDtypeStruct((g3, pack_rows, h), jnp.float32),
-            cost_estimate=pl.CostEstimate(
-                flops=3 * 2 * nt * mm_cols,
-                bytes_accessed=nt * 32 * 4,
-                transcendentals=nt * (p_pad + d_pad + 8),
-            ),
-            compiler_params=comp,
-            interpret=interpret,
-        )(gid, used, loc8, dirs8, g, *enc_args, wc)
-        f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
-        return (gpack, f0(gid), f0(used),
-                jnp.zeros_like(loc8), jnp.zeros_like(dirs8))
-
-    fused.defvjp(fused_fwd, fused_bwd)
-
-    from nerf_tpu.models.kilonerf import build_dispatch
-
-    def apply(params, points, viewdirs):
-        shape = points.shape[:-1]
-        p = points.reshape(-1, 3)
-        d = viewdirs.reshape(-1, 3)
-        n = p.shape[0]
-        vid, local = model.voxel_of(p)
-        order, gid, src, valid, counts = build_dispatch(vid, g3, t)
-        used = jnp.sum(-(-counts // t)).astype(jnp.int32)[None]
-
-        # tile slot -> original point index (n = dummy for padded slots);
-        # ONE gather builds each tile-layout input from the original order
-        orig_flat = jnp.where(
-            valid.reshape(-1),
-            jnp.concatenate(
-                [order.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
-            )[src.reshape(-1)],
-            n,
-        )
-
-        def to_tiles(x):
-            xs = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)])
-            return jnp.pad(xs[orig_flat], ((0, 0), (0, 5)))
-
-        loc_t = to_tiles(local)
-        dir_t = to_tiles(d)
-
-        wpack = pack_params(params, p_pad, d_pad, h)
-        # zero the gradient blocks of experts no tile visited (their HBM
-        # output blocks are never written by the backward kernel)
-        wpack = _mask_untouched(wpack, counts > 0)
-        out_t = fused(wpack, gid, used, loc_t, dir_t)
-        out = _reorder(out_t, orig_flat, n)
-        rgb = out[:, :3].reshape(*shape, 3)
-        sigma = out[:, 3].reshape(shape)
-        return rgb, sigma
-
-    return apply
+    return _build_grouped(model, tile_fwd, e_per, interpret)
 
 
-def _make_multi_apply(model, t: int, e_per: int, interpret: bool):
-    """Multi-expert block-diagonal variant of the grouped apply (see the
-    multi-expert section comment): E experts per grid step, lane-slotted
-    activations, per-GROUP dispatch plan and gradient accumulation."""
+def _build_grouped(model, t: int, e_per: int, interpret: bool):
+    """Shared builder for the grouped apply: dispatch plan, custom-vjp
+    wiring and the pallas_call scaffolding are identical for the
+    single-expert (e_per=1) and multi-expert block-diagonal kernels —
+    only the kernel bodies, the packing and the slot-sum const differ."""
     h = model.hidden_dim
     g3 = model.num_networks
     ng = g3 // e_per
@@ -682,14 +520,20 @@ def _make_multi_apply(model, t: int, e_per: int, interpret: bool):
 
     enc_args = enc8(model.pos_encoding_dim, p_pad) \
         + enc8(model.dir_encoding_dim, d_pad)
-    # (lanes, 8) slot-sum matrix: 1 at (e*h + j, j) — with slot-masked
-    # input, summing slots extracts each point's own first-8 lanes
-    red8 = np.zeros((lanes, 8), np.float32)
-    for ee in range(e_per):
-        for j in range(min(8, h)):
-            red8[ee * h + j, j] = 1.0
-    red8 = jnp.asarray(red8)
-    consts = enc_args + (red8,)
+    kargs = dict(cdt=cdt, h=h, p_pad=p_pad, d_pad=d_pad)
+    if e_per > 1:
+        # (lanes, 8) slot-sum matrix: 1 at (e*h + j, j) — with slot-masked
+        # input, summing slots extracts each point's own first-8 lanes
+        red8 = np.zeros((lanes, 8), np.float32)
+        for ee in range(e_per):
+            for j in range(min(8, h)):
+                red8[ee * h + j, j] = 1.0
+        consts = enc_args + (jnp.asarray(red8),)
+        kargs["e"] = e_per
+        fwd_kernel, bwd_kernel = _fwd_kernel_multi, _bwd_kernel_multi
+    else:
+        consts = enc_args
+        fwd_kernel, bwd_kernel = _fwd_kernel, _bwd_kernel
     const_specs = [
         pl.BlockSpec(a.shape, lambda i, gid, used: (0, 0),
                      memory_space=pltpu.VMEM)
@@ -710,12 +554,11 @@ def _make_multi_apply(model, t: int, e_per: int, interpret: bool):
     )
     # e_per-slotted layer widths (the E-fold zero padding is real MXU work)
     mm_cols = e_per * (p_pad * h + 4 * h * h + d_pad * h) * e_per
-    kargs = dict(cdt=cdt, h=h, p_pad=p_pad, d_pad=d_pad, e=e_per)
 
     def _run_fwd(wc, gid, used, loc8, dirs8):
         nt = loc8.shape[0]
         return pl.pallas_call(
-            functools.partial(_fwd_kernel_multi, **kargs),
+            functools.partial(fwd_kernel, **kargs),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(nt // t,),
@@ -746,7 +589,7 @@ def _make_multi_apply(model, t: int, e_per: int, interpret: bool):
         wc, gid, used, loc8, dirs8 = res
         nt = loc8.shape[0]
         gpack = pl.pallas_call(
-            functools.partial(_bwd_kernel_multi, **kargs),
+            functools.partial(bwd_kernel, **kargs),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(nt // t,),
@@ -795,15 +638,19 @@ def _make_multi_apply(model, t: int, e_per: int, interpret: bool):
             return jnp.pad(xs[orig_flat], ((0, 0), (0, 5)))
 
         loc_t = to_tiles(local)
-        # expert-within-group index rides in loc column 3 (the encode
-        # constants zero that row); padded slots keep e=0
-        e_pt = jnp.concatenate(
-            [(vid % e_per).astype(jnp.float32), jnp.zeros((1,), jnp.float32)]
-        )[orig_flat]
-        loc_t = loc_t.at[:, 3].set(e_pt)
+        if e_per > 1:
+            # expert-within-group index rides in loc column 3 (the encode
+            # constants zero that row); padded slots keep e=0
+            e_pt = jnp.concatenate(
+                [(vid % e_per).astype(jnp.float32),
+                 jnp.zeros((1,), jnp.float32)]
+            )[orig_flat]
+            loc_t = loc_t.at[:, 3].set(e_pt)
         dir_t = to_tiles(d)
 
         wpack = pack_params_multi(params, p_pad, d_pad, h, e_per)
+        # zero the gradient blocks of groups no tile visited (their HBM
+        # output blocks are never written by the backward kernel)
         wpack = _mask_untouched(wpack, counts > 0)
         out_t = fused(wpack, gid, used, loc_t, dir_t)
         out = _reorder(out_t, orig_flat, n)
