@@ -29,6 +29,17 @@ from nerf_tpu.train.step import make_eval_render
 from nerf_tpu.utils.checkpoint import load_checkpoint, read_metadata
 
 
+def _eval_mesh():
+    """All-device 1-D mesh for sharded frame renders (multi-chip hosts);
+    None single-device / multi-process (make_eval_render would ignore a
+    cross-process mesh anyway — eval is a single-process CLI)."""
+    if jax.process_count() > 1 or jax.device_count() == 1:
+        return None
+    from nerf_tpu.parallel.mesh import create_mesh
+
+    return create_mesh("")
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(
         description="Render novel views from a trained NeRF checkpoint."
@@ -118,9 +129,10 @@ def main(argv=None) -> None:
             baked_params = baked_model.precompute(baked_params)
             apply_fn = lambda _p, pts, d: baked_model.apply(baked_params, pts, d)
         renderer = make_eval_render(model, settings, apply_fn=apply_fn,
-                                    fused_render=None)
+                                    fused_render=None, mesh=_eval_mesh())
     else:
-        renderer = make_eval_render(model, settings, use_pallas=cfg.use_pallas)
+        renderer = make_eval_render(model, settings, use_pallas=cfg.use_pallas,
+                                    mesh=_eval_mesh())
     key = jax.random.key(cfg.seed)
 
     import imageio.v2 as imageio

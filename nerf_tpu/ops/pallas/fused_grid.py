@@ -56,6 +56,7 @@ identical either way.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -250,13 +251,19 @@ def _run_kernel(packed, bases, blks, gx, gy, gz, *, tb, sps, nsteps, cdt,
 
 
 def _coherent_channels(grid, points, tr, s_seg, cdt, prec, interpret,
-                       sps: int = 2, packed=None):
+                       sps: int = None, packed=None):
     """Kernel-path forward: (R_rays, S, 3) points in [-1,1] ->
     ((R_rays, S, C), fits). Exact trilinear when ``fits``; garbage when
     not (callers cond on ``fits``). ``packed`` (from ``pack_grid``) skips
     the per-call repack — callers that render many chunks from one grid
     pack once (the repack moves ~R^3*C*4 bytes; inside render_image's
-    lax.map chunk loop it would re-run per chunk per pass)."""
+    lax.map chunk loop it would re-run per chunk per pass).
+
+    ``sps`` (depth segments fetched per grid step, default 2 — each step
+    DMAs 8*sps sub-bricks) is sweepable via ``NERF_TPU_GRID_SPS`` for the
+    on-TPU tile sweep (tools/bench_grid_kernel.py)."""
+    if sps is None:
+        sps = int(os.environ.get("NERF_TPU_GRID_SPS", 2))
     r, c = grid.shape[0], grid.shape[-1]
     nb = r // _SUB
     num_rays, s = points.shape[0], points.shape[1]
@@ -380,8 +387,6 @@ def trilinear_rays(grid: jnp.ndarray, points: jnp.ndarray,
     ``interpret=True``). ``packed``, when given, must be
     ``pack_grid(grid, <matching dtype>)`` — pack once per render instead
     of per chunk (models' ``precompute`` hooks do this)."""
-    import os
-
     r, c = grid.shape[0], grid.shape[-1]
     usable = (
         (force or (_on_tpu()

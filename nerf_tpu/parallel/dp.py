@@ -89,6 +89,10 @@ def make_dp_train_step(
         mesh=mesh,
         in_specs=(P(), P(axis), P()),
         out_specs=(P(), P()),
+        # the fused Pallas render/train kernels declare no varying-mesh-axes
+        # info, which trips check_vma at trace time on TPU; replication of
+        # the outputs is real regardless (explicit pmean below)
+        check_vma=False,
     )
     def grad_shard(param_pair, pool_shard: RayPool, step):
         my_idx = jax.lax.axis_index(axis)

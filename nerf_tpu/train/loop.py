@@ -147,6 +147,7 @@ def fit(
     # --- mesh / sharding ---
     data_shard = None
     replicated = None
+    mesh = None
     if jax.device_count() > 1:
         from nerf_tpu.parallel.mesh import create_mesh, data_sharding, replicated_sharding
 
@@ -196,13 +197,20 @@ def fit(
 
     # --- model / state ---
     model, tx, state = create_train_state(cfg, k_init)
+    eval_model = model
     if replicated is not None and getattr(model, "use_grid_kernel", False):
         # GSPMD cannot partition a pallas_call: on a multi-device mesh the
-        # sharded train/eval steps must trace the grid families' pure
-        # gather path (params are plain arrays — replace() is free)
+        # sharded TRAIN step must trace the grid families' pure gather
+        # path (params are plain arrays — replace() is free). EVAL keeps
+        # the kernel when single-process: make_eval_render's shard_map
+        # wrapper partitions the rays manually, so each chip runs its own
+        # kernel. Multi-host eval shards across processes via GSPMD and
+        # must stay pure too.
         import dataclasses
 
         model = dataclasses.replace(model, use_grid_kernel=False)
+        if jax.process_count() > 1:
+            eval_model = model
     if replicated is not None:
         # Place the fresh state replicated on the (possibly multi-process)
         # mesh. Init is deterministic from cfg.seed, so every process holds
@@ -289,8 +297,21 @@ def fit(
             v = cfg.val_interval
         candidates.append(v)
         return min(candidates)
-    eval_render = make_eval_render(model, settings, apply_fn=apply_fn,
-                                   fused_render=fused_render)
+    eval_apply_fn, eval_fused = apply_fn, fused_render
+    if eval_model is not model:
+        # grid family on a single-process mesh: eval resolves against the
+        # kernel-enabled model (train traced the pure path above)
+        eval_fused = resolve_fused_render(eval_model, settings,
+                                          use_pallas=cfg.use_pallas)
+        eval_apply_fn = (eval_model.apply if eval_fused is not None
+                         else resolve_apply_fn(eval_model,
+                                               use_pallas=cfg.use_pallas))
+    eval_render = make_eval_render(
+        eval_model, settings, apply_fn=eval_apply_fn, fused_render=eval_fused,
+        # rays shard_map'd across chips (per-chip Pallas kernels engage);
+        # multi-host keeps the GSPMD path (mesh spans processes)
+        mesh=mesh if jax.process_count() == 1 else None,
+    )
     schedule = lr_schedule(
         cfg.learning_rate, cfg.lr_decay, cfg.lr_decay_factor, cfg.lr_min
     )

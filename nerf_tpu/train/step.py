@@ -288,6 +288,7 @@ def make_eval_render(
     use_pallas: bool = True,
     apply_fn: Optional[Callable] = None,
     fused_render=None,
+    mesh=None,
 ):
     """Returns a jitted full-image renderer:
     ``render(params, fine_params, rays_o, rays_d, key, viewdirs=None,
@@ -298,7 +299,18 @@ def make_eval_render(
     reordered into spatial pixel blocks (host-side) before rendering and
     the outputs restored to scanline order after — the coherence the
     fused grid kernel needs. Outputs come back as NumPy arrays in that
-    mode (they round-trip through the host anyway)."""
+    mode (they round-trip through the host anyway).
+
+    When ``mesh`` (a multi-device, single-process jax.sharding.Mesh) is
+    given, the render is shard_map'd over the mesh's ``data`` axis: rays
+    split into contiguous per-chip shards, params replicated, each chip
+    running the full per-ray pipeline locally. Unlike plain GSPMD jit,
+    this manual partitioning lets the per-chip Pallas render kernels —
+    including the coherent grid kernel, which GSPMD cannot partition —
+    engage on every chip; the only cross-chip traffic is the output's
+    logical concat. Ray counts are padded to chips x 64 so shard
+    boundaries stay on the 8x8 pixel-block boundaries ``tile_ray_order``
+    emits (a split block would break a tile's spatial coherence)."""
     if apply_fn is None:
         apply_fn = resolve_apply_fn(model, use_pallas)
         if fused_render is None:
@@ -311,14 +323,12 @@ def make_eval_render(
     precompute = getattr(model, "precompute", None)
     perm_cache: dict = {}
 
-    @jax.jit
-    def _render(params, fine_params, rays_o, rays_d, viewdirs, key):
-        if precompute is not None:
-            # render-time prep (e.g. the grid families' pre-packed bricks)
-            # runs ONCE here, outside render_image's lax.map chunk loop
-            params = precompute(params)
-            if fine_params:
-                fine_params = precompute(fine_params)
+    ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    use_mesh = ndev > 1 and jax.process_count() == 1
+    # Shards must not split an 8x8 pixel block (64 rays, tile_ray_order).
+    align = 64 * ndev if use_mesh else 0
+
+    def _render_body(params, fine_params, rays_o, rays_d, viewdirs, key):
         return render_image(
             apply_fn,
             params,
@@ -330,6 +340,44 @@ def make_eval_render(
             viewdirs=viewdirs,
             fused_render=fused_render,
         )
+
+    if use_mesh:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = "data" if "data" in mesh.axis_names else mesh.axis_names[0]
+
+        def _shard_body(params, fine_params, rays_o, rays_d, viewdirs, key):
+            # decorrelate the stratified jitter across ray shards
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            return _render_body(params, fine_params, rays_o, rays_d,
+                                viewdirs, key)
+
+        _sharded = shard_map(
+            _shard_body,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P()),
+            out_specs=P(axis),
+            # pallas_call declares no varying-mesh-axes info; the body is
+            # per-shard-local anyway (no collectives, outputs all sharded)
+            check_vma=False,
+        )
+
+    @jax.jit
+    def _render(params, fine_params, rays_o, rays_d, viewdirs, key):
+        if precompute is not None:
+            # render-time prep (e.g. the grid families' pre-packed bricks)
+            # runs ONCE here, outside render_image's lax.map chunk loop
+            # (and outside the shard_map — it's a function of replicated
+            # params, so its product is replicated too)
+            params = precompute(params)
+            if fine_params:
+                fine_params = precompute(fine_params)
+        if use_mesh:
+            return _sharded(params, fine_params, rays_o, rays_d, viewdirs,
+                            key)
+        return _render_body(params, fine_params, rays_o, rays_d, viewdirs,
+                            key)
 
     def render(params, fine_params, rays_o, rays_d, key, viewdirs=None,
                hw=None):
@@ -346,7 +394,29 @@ def make_eval_render(
             rays_o = jnp.asarray(np.asarray(rays_o)[perm])
             rays_d = jnp.asarray(np.asarray(rays_d)[perm])
             viewdirs = jnp.asarray(np.asarray(viewdirs)[perm])
+        if use_mesh:
+            # params restored from a checkpoint (or trained single-device)
+            # arrive committed to one device — incompatible with the
+            # mesh-spanning shard_map; re-place replicated (no-op when
+            # already mesh-placed, e.g. from fit())
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            params = jax.device_put(params, rep)
+            if fine_params:
+                fine_params = jax.device_put(fine_params, rep)
+        num_rays = rays_o.shape[0]
+        pad = (-num_rays) % align if align else 0
+        if pad:
+            def padded(x):
+                filler = jnp.ones((pad,) + x.shape[1:], x.dtype)
+                return jnp.concatenate([x, filler], axis=0)
+
+            rays_o, rays_d = padded(rays_o), padded(rays_d)
+            viewdirs = padded(viewdirs)
         out = _render(params, fine_params, rays_o, rays_d, viewdirs, key)
+        if pad:
+            out = type(out)(*(x[:num_rays] for x in out))
         if perm is not None:
             out = type(out)(*(np.asarray(x)[inv] for x in out))
         return out
