@@ -120,17 +120,26 @@ def main(argv=None) -> None:
             else state.params
         )
         baked = model.bake(bake_params, grid_res=args.bake)
+        from nerf_tpu.train.step import resolve_fused_render
+
         if hasattr(baked, "apply"):   # fastnerf -> BakedFastNeRF
+            baked_model, render_params = baked, (None, {})
             apply_fn = baked.apply
         else:                         # plenoctree -> (PlenoxelsModel, params)
             baked_model, baked_params = baked
-            # pack the grid for the coherent kernel ONCE at bake time (the
-            # closure hides these params from make_eval_render's hook)
+            # pack the grid for the coherent kernels ONCE at bake time
             baked_params = baked_model.precompute(baked_params)
+            render_params = (baked_params, {})
             apply_fn = lambda _p, pts, d: baked_model.apply(baked_params, pts, d)
-        renderer = make_eval_render(model, settings, apply_fn=apply_fn,
-                                    fused_render=None, mesh=_eval_mesh())
+        # the eval-only fused grid render serves both cache types (interp
+        # + decode + compositing in one kernel); falls back to apply_fn
+        fused = resolve_fused_render(baked_model, settings,
+                                     use_pallas=cfg.use_pallas,
+                                     for_train=False)
+        renderer = make_eval_render(baked_model, settings, apply_fn=apply_fn,
+                                    fused_render=fused, mesh=_eval_mesh())
     else:
+        render_params = (state.params, state.fine_params)
         renderer = make_eval_render(model, settings, use_pallas=cfg.use_pallas,
                                     mesh=_eval_mesh())
     key = jax.random.key(cfg.seed)
@@ -150,8 +159,8 @@ def main(argv=None) -> None:
                 h, w, focal, 1.0, jnp.asarray(rays_o), jnp.asarray(rays_d)
             )
         out = renderer(
-            state.params,
-            state.fine_params,
+            render_params[0],
+            render_params[1],
             jnp.asarray(rays_o),
             jnp.asarray(rays_d),
             jax.random.fold_in(key, i),

@@ -112,4 +112,19 @@ def get_fused_render(model, settings):
             normalize=settings.normalize_positions,
             **_render_tile_overrides(),
         )
+    from nerf_tpu.models.fastnerf import BakedFastNeRF
+    from nerf_tpu.models.plenoxels import PlenoxelsModel
+
+    if isinstance(model, (PlenoxelsModel, BakedFastNeRF)):
+        # eval-only (model.eval_only): interp + decode + compositing in one
+        # kernel for the grid families; training keeps the pure gather
+        # path whose custom VJP is exact
+        from nerf_tpu.ops.pallas.fused_grid_render import (
+            make_fused_grid_render,
+        )
+
+        return make_fused_grid_render(
+            model, settings.near, settings.far,
+            normalize=settings.normalize_positions,
+        )
     return None

@@ -120,6 +120,42 @@ def _tent(p_loc, tb):
     return jnp.maximum(0.0, 1.0 - jnp.abs(p_loc - cells))
 
 
+def _interp_seg(base_ref, px_ref, py_ref, pz_ref, ex, ey, bricks,
+                step, lo, hi, tb, cdt, prec):
+    """One depth segment's trilinear interpolation against its 8 window
+    sub-bricks: returns the (TB, 32) f32 interpolated channels. Shared by
+    the channels-out kernel below and the fused render kernel
+    (fused_grid_render.py)."""
+    # Expansion dots carry 0/1 matrices; their precision only needs to
+    # match the downstream contraction (bf16 mode rounds w to bf16 anyway).
+    eprec = HIGHEST if cdt == jnp.float32 else jax.lax.Precision.DEFAULT
+
+    def axis_tents(col_ref, a):
+        loc = col_ref[lo:hi] - base_ref[step * 3 + a].astype(jnp.float32)
+        return _tent(loc, tb), _tent(loc - float(_SUB), tb)
+
+    wx = axis_tents(px_ref, 0)
+    wy = axis_tents(py_ref, 1)
+    wz = axis_tents(pz_ref, 2)
+    wx_e = [jax.lax.dot(v, ex, precision=eprec) for v in wx]   # (TB, 512)
+    wy_e = [pltpu.repeat(jax.lax.dot(v, ey, precision=eprec), 8, axis=1)
+            for v in wy]
+    wz_e = [pltpu.repeat(v, 64, axis=1) for v in wz]
+
+    acc = jnp.zeros((tb, _LANES), jnp.float32)
+    for dx in range(2):
+        for dy in range(2):
+            wxy = wx_e[dx] * wy_e[dy]
+            for dz in range(2):
+                k = dx * 4 + dy * 2 + dz
+                acc = acc + jax.lax.dot(
+                    (wxy * wz_e[dz]).astype(cdt),
+                    bricks[k][0].astype(cdt),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+    return acc
+
+
 def _grid_kernel(base_ref, blk_ref, px_ref, py_ref, pz_ref, ex_ref, ey_ref,
                  *refs, tb, sps, cdt, prec):
     """``sps`` segments per grid step: per-step fixed costs (index maps,
@@ -128,38 +164,14 @@ def _grid_kernel(base_ref, blk_ref, px_ref, py_ref, pz_ref, ex_ref, ey_ref,
     brick_refs, out_ref = refs[:8 * sps], refs[8 * sps]
     i = pl.program_id(0)
     ex, ey = ex_ref[:], ey_ref[:]
-    # Expansion dots carry 0/1 matrices; their precision only needs to
-    # match the downstream contraction (bf16 mode rounds w to bf16 anyway).
-    eprec = HIGHEST if cdt == jnp.float32 else jax.lax.Precision.DEFAULT
 
     for seg in range(sps):
         step = i * sps + seg
         lo, hi = seg * tb, (seg + 1) * tb
-
-        def axis_tents(col_ref, a):
-            loc = col_ref[lo:hi] - base_ref[step * 3 + a].astype(jnp.float32)
-            return _tent(loc, tb), _tent(loc - float(_SUB), tb)
-
-        wx = axis_tents(px_ref, 0)
-        wy = axis_tents(py_ref, 1)
-        wz = axis_tents(pz_ref, 2)
-        wx_e = [jax.lax.dot(v, ex, precision=eprec) for v in wx]   # (TB, 512)
-        wy_e = [pltpu.repeat(jax.lax.dot(v, ey, precision=eprec), 8, axis=1)
-                for v in wy]
-        wz_e = [pltpu.repeat(v, 64, axis=1) for v in wz]
-
-        acc = jnp.zeros((tb, _LANES), jnp.float32)
-        for dx in range(2):
-            for dy in range(2):
-                wxy = wx_e[dx] * wy_e[dy]
-                for dz in range(2):
-                    k = dx * 4 + dy * 2 + dz
-                    acc = acc + jax.lax.dot(
-                        (wxy * wz_e[dz]).astype(cdt),
-                        brick_refs[seg * 8 + k][0].astype(cdt),
-                        preferred_element_type=jnp.float32, precision=prec,
-                    )
-        out_ref[lo:hi] = acc
+        out_ref[lo:hi] = _interp_seg(
+            base_ref, px_ref, py_ref, pz_ref, ex, ey,
+            brick_refs[seg * 8:(seg + 1) * 8], step, lo, hi, tb, cdt, prec,
+        )
 
 
 # -------------------------------------------------------------------- plan

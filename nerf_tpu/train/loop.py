@@ -298,14 +298,19 @@ def fit(
         candidates.append(v)
         return min(candidates)
     eval_apply_fn, eval_fused = apply_fn, fused_render
-    if eval_model is not model:
-        # grid family on a single-process mesh: eval resolves against the
-        # kernel-enabled model (train traced the pure path above)
+    if fused_render is None or eval_model is not model:
+        # the eval route admits kernels the train route can't use: the
+        # eval-only fused grid render (no VJP), and — on a single-process
+        # mesh — the kernel-enabled grid model (train traced the pure path
+        # above; make_eval_render's shard_map partitions the kernel)
         eval_fused = resolve_fused_render(eval_model, settings,
-                                          use_pallas=cfg.use_pallas)
-        eval_apply_fn = (eval_model.apply if eval_fused is not None
-                         else resolve_apply_fn(eval_model,
-                                               use_pallas=cfg.use_pallas))
+                                          use_pallas=cfg.use_pallas,
+                                          for_train=False)
+        if eval_fused is not None:
+            eval_apply_fn = eval_model.apply
+        elif eval_model is not model:
+            eval_apply_fn = resolve_apply_fn(eval_model,
+                                             use_pallas=cfg.use_pallas)
     eval_render = make_eval_render(
         eval_model, settings, apply_fn=eval_apply_fn, fused_render=eval_fused,
         # rays shard_map'd across chips (per-chip Pallas kernels engage);

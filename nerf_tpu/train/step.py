@@ -62,12 +62,17 @@ def resolve_apply_fn(model, use_pallas: bool = True, probe: bool = True) -> Call
 
 
 def resolve_fused_render(model, settings: RenderSettings,
-                         use_pallas: bool = True, probe: bool = True):
+                         use_pallas: bool = True, probe: bool = True,
+                         for_train: bool = True):
     """The fully fused render kernel for this model/settings, or None.
 
     Like `resolve_apply_fn`, a probe compiles one tiny fwd+bwd up front so
     Mosaic failures downgrade to the next-best path (fused field kernel or
-    pure JAX) instead of crashing the first training step."""
+    pure JAX) instead of crashing the first training step.
+
+    ``for_train=False`` (eval/render call sites) additionally admits
+    eval-only kernels (``fr.eval_only``, e.g. the fused grid render) whose
+    forward has no VJP — training routes must never see those."""
     if not use_pallas:
         return None
     try:
@@ -76,6 +81,27 @@ def resolve_fused_render(model, settings: RenderSettings,
         fr = get_fused_render(model, settings)
         if fr is None:
             return None
+        if for_train and getattr(fr, "eval_only", False):
+            return None
+        if probe and getattr(fr, "eval_only", False):
+            # forward value-probe only: there is no train route and the
+            # forward VJP is intentionally absent
+            params = jax.eval_shape(model.init, jax.random.key(0)) \
+                if hasattr(model, "init") else None
+            if params is not None:
+                params = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), params)
+            ro = jnp.zeros((8, 3), jnp.float32)
+            rd = jnp.ones((8, 3), jnp.float32)
+            t = jnp.linspace(0.1, 1.0, 8)[None, :].repeat(8, 0)
+
+            def probe_eval(p):
+                out = fr(p, ro, rd, rd, t)
+                return jnp.sum(out["rgb"]) + jnp.sum(out["acc"])
+
+            jax.block_until_ready(
+                jax.jit(probe_eval).lower(params).compile()(params))
+            return fr
         if probe:
             params = jax.eval_shape(model.init, jax.random.key(0))
             params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
@@ -314,7 +340,8 @@ def make_eval_render(
     if apply_fn is None:
         apply_fn = resolve_apply_fn(model, use_pallas)
         if fused_render is None:
-            fused_render = resolve_fused_render(model, settings, use_pallas)
+            fused_render = resolve_fused_render(model, settings, use_pallas,
+                                                for_train=False)
     # Grid families declare wants_tile_order (ray order is semantically
     # neutral — each ray renders independently; the permutation round-trips
     # on the host). Pointless when the kernel is disabled (pure tier).

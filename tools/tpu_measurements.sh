@@ -19,9 +19,12 @@ run "NERF_TPU_BENCH_ITERS=20 python bench.py"
 # 2. full-image render bench, MLP flagship (regression check: ~350k)
 run "NERF_TPU_BENCH_ITERS=5 NERF_TPU_BENCH_MODE=render python bench.py"
 
-# 3. grid family render: coherent kernel ON (the new number)...
+# 3. grid family render, three tiers: fused render kernel (interp+decode+
+#    composite in one kernel, the headline number)...
 run "NERF_TPU_BENCH_ITERS=5 NERF_TPU_BENCH_MODE=render NERF_TPU_BENCH_MODEL=plenoxels python bench.py"
-# ...and OFF (the ~13k gather baseline, same harness)
+# ...channels-out interp kernel only (XLA decode/composite glue visible)...
+run "NERF_TPU_BENCH_ITERS=5 NERF_TPU_BENCH_MODE=render NERF_TPU_BENCH_MODEL=plenoxels NERF_TPU_NO_FUSED_GRID_RENDER=1 python bench.py"
+# ...and pure gathers (the ~13k baseline, same harness)
 run "NERF_TPU_BENCH_ITERS=3 NERF_TPU_BENCH_MODE=render NERF_TPU_BENCH_MODEL=plenoxels NERF_TPU_NO_GRID_KERNEL=1 python bench.py"
 
 # 4. grid kernel microbench (tile/dtype sweep inside the tool)
