@@ -105,6 +105,13 @@ class Config:
                                    # (fresh-init distributions then match the
                                    # reference exactly — including its
                                    # dead-ReLU coin-flip)
+    scene_bound: float = 1.5       # world-space half-extent of scene content
+                                   # (grid families size their voxel domain to
+                                   # the reference-normalized image of the
+                                   # [-s, s]^3 world cube; see
+                                   # models/registry.py::grid_domain. MLP
+                                   # families ignore it). 1.5 covers the
+                                   # standard Blender synthetic scenes.
 
     # --- eval ---
     num_render_poses: int = 40

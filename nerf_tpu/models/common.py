@@ -16,6 +16,18 @@ import jax
 import jax.numpy as jnp
 
 
+def remap_domain(p: jax.Array, domain: tuple[float, float]) -> jax.Array:
+    """Affine map of the grid family's ``domain`` cube (lo, hi) onto the
+    internal [-1,1] convention every grid primitive uses (ops/interp.py,
+    fused_grid.py). Identity for the default (-1, 1) domain — existing
+    golden tests and NDC scenes hit that path. See
+    models/registry.py::grid_domain for why grid models need this."""
+    lo, hi = float(domain[0]), float(domain[1])
+    if (lo, hi) == (-1.0, 1.0):
+        return p
+    return (p - lo) * (2.0 / (hi - lo)) - 1.0
+
+
 def uniform_init(key: jax.Array, shape: tuple[int, ...], bound: float) -> jax.Array:
     return jax.random.uniform(
         key, shape, dtype=jnp.float32, minval=-bound, maxval=bound

@@ -52,6 +52,11 @@ class FastNeRFModel:
     reference_init: bool = False   # strict parity: skip the density-bias guard
     use_grid_kernel: bool = True   # threaded into the baked cache; false =
                                    # pure gather path (use_pallas contract)
+    domain: tuple = (-1.0, 1.0)    # cube of model-input space ``bake``
+                                   # samples (registry.py::grid_domain) —
+                                   # the live MLP itself is domain-free,
+                                   # but the cache must cover where the
+                                   # renderer's normalized queries land
 
     name: str = "fastnerf"
     wants_tile_order = True     # class traits, see plenoxels.py
@@ -111,7 +116,7 @@ class FastNeRFModel:
 
     def bake(self, params: dict, grid_res: int = 128, dir_res: int = 64,
              chunk: int = 65536) -> "BakedFastNeRF":
-        """Sample F_pos on a dense grid over [-1,1]^3 and F_dir on a
+        """Sample F_pos on a dense grid over ``domain``^3 and F_dir on a
         lat/long direction grid — the paper's cache. After this, rendering
         never evaluates an MLP (see BakedFastNeRF.apply).
 
@@ -119,7 +124,8 @@ class FastNeRFModel:
         (stored f32 for interpolation accuracy; fits single-chip HBM).
         """
         r = grid_res
-        lin = jnp.linspace(-1.0, 1.0, r, dtype=jnp.float32)
+        lin = jnp.linspace(self.domain[0], self.domain[1], r,
+                           dtype=jnp.float32)
         pts = jnp.stack(jnp.meshgrid(lin, lin, lin, indexing="ij"),
                         axis=-1).reshape(-1, 3)
 
@@ -157,6 +163,7 @@ class FastNeRFModel:
             num_factors=self.num_factors,
             use_grid_kernel=self.use_grid_kernel,
             packed_pos=packed_pos,
+            domain=self.domain,
         )
 
 
@@ -171,11 +178,15 @@ class BakedFastNeRF(NamedTuple):
     use_grid_kernel: bool = True
     packed_pos: Optional[jax.Array] = None  # pack_grid(pos_grid, bf16),
                                             # computed once at bake time
+    domain: tuple = (-1.0, 1.0)  # cube of input space pos_grid spans
 
     wants_tile_order = True     # class trait, see plenoxels.py
 
     def apply(self, params, points: jax.Array, viewdirs: jax.Array):
         del params  # the grids ARE the parameters
+        from nerf_tpu.models.common import remap_domain
+
+        points = remap_domain(points, self.domain)
         shape = points.shape[:-1]
         d = viewdirs.reshape(-1, 3)
 

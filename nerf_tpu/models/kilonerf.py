@@ -101,6 +101,11 @@ class KiloNeRFModel:
     compute_dtype: str = "float32"
     dispatch_tile: int = 128         # points per grouped-matmul tile
     reference_init: bool = False     # strict parity: skip the density-bias guard
+    domain: tuple = (-1.0, 1.0)      # cube of model-input space the expert
+                                     # grid subdivides (registry.py::
+                                     # grid_domain) — otherwise the scene
+                                     # content lands in a handful of border
+                                     # voxels and most experts never train
 
     name: str = "kilonerf"
 
@@ -138,7 +143,7 @@ class KiloNeRFModel:
     # ---------------------------------------------------------------- voxels
 
     def voxel_of(self, points: jax.Array) -> tuple[jax.Array, jax.Array]:
-        """(vid, local) for points in the normalized [-1,1]^3 domain.
+        """(vid, local) for points in the model's ``domain`` cube.
 
         Points outside the domain (rays exit the box laterally; the
         componentwise [near,far]->[-1,1] map does not clip) are assigned to
@@ -146,6 +151,9 @@ class KiloNeRFModel:
         the tiny MLP extrapolates, mirroring how the monolithic families see
         out-of-range inputs.
         """
+        from nerf_tpu.models.common import remap_domain
+
+        points = remap_domain(points, self.domain)
         r = self.grid_res
         cell = jnp.clip(
             jnp.floor((points + 1.0) * (0.5 * r)).astype(jnp.int32), 0, r - 1

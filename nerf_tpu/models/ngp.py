@@ -52,6 +52,8 @@ class NGPModel:
                                   # 2 keeps the shared 9-term basis — knob)
     compute_dtype: str = "float32"
     reference_init: bool = False  # strict parity: skip the density-bias guard
+    domain: tuple = (-1.0, 1.0)   # cube of model-input space the hash grid
+                                  # covers (registry.py::grid_domain)
 
     name: str = "ngp"
     eval_gather_bound = True    # hash-table gathers; eval chunks cap at 8k
@@ -118,9 +120,11 @@ class NGPModel:
         return (h & np.uint32(t - 1)).astype(jnp.int32)
 
     def encode(self, tables: list, p: jax.Array) -> jax.Array:
-        """Multires hash encoding of points (N, 3) in [-1,1]^3 ->
+        """Multires hash encoding of points (N, 3) in ``domain``^3 ->
         (N, L * feat_dim)."""
-        x01 = jnp.clip((p + 1.0) * 0.5, 0.0, 1.0)
+        from nerf_tpu.models.common import remap_domain
+
+        x01 = jnp.clip((remap_domain(p, self.domain) + 1.0) * 0.5, 0.0, 1.0)
         outs = []
         offs = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1],
                                     indexing="ij"), axis=-1).reshape(8, 3)

@@ -45,6 +45,9 @@ class PlenOctreeModel:
     compute_dtype: str = "float32"
     reference_init: bool = False   # strict parity: skip the density-bias guard
     use_grid_kernel: bool = True   # threaded into the baked Plenoxels cache
+    domain: tuple = (-1.0, 1.0)    # cube of input space ``bake`` samples
+                                   # (registry.py::grid_domain); the live
+                                   # NeRF-SH MLP itself is domain-free
 
     name: str = "plenoctree"
     wants_tile_order = True     # class traits, see plenoxels.py
@@ -92,7 +95,8 @@ class PlenOctreeModel:
         ``(PlenoxelsModel, params)`` pair — the TPU-native PlenOctree cache
         renders through the Plenoxels trilinear/SH path with no MLP."""
         r = grid_res
-        lin = jnp.linspace(-1.0, 1.0, r, dtype=jnp.float32)
+        lin = jnp.linspace(self.domain[0], self.domain[1], r,
+                           dtype=jnp.float32)
         pts = jnp.stack(jnp.meshgrid(lin, lin, lin, indexing="ij"),
                         axis=-1).reshape(-1, 3)
 
@@ -113,7 +117,8 @@ class PlenOctreeModel:
             r, r, r, 1 + 3 * self.sh_dim
         )
         model = PlenoxelsModel(grid_res=r, sh_degree=self.sh_degree,
-                               use_grid_kernel=self.use_grid_kernel)
+                               use_grid_kernel=self.use_grid_kernel,
+                               domain=self.domain)
         return model, {"grid": grid}
 
 

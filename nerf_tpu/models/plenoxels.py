@@ -90,6 +90,11 @@ class PlenoxelsModel:
                                     # (use_pallas=false contract; also set
                                     # by fit() on multi-device meshes —
                                     # GSPMD cannot partition a pallas_call)
+    domain: tuple = (-1.0, 1.0)     # cube of model-input space the grid
+                                    # covers (registry.py::grid_domain: the
+                                    # normalized scene volume, NOT [-1,1] —
+                                    # the reference's [near,far]->[-1,1] map
+                                    # puts content around -2)
 
     name: str = "plenoxels"
     # class traits (not dataclass fields): full-image renders reorder rays
@@ -132,7 +137,11 @@ class PlenoxelsModel:
         self, params: dict, points: jax.Array, viewdirs: jax.Array
     ) -> tuple[jax.Array, jax.Array]:
         """points/viewdirs (..., 3) -> (rgb (..., 3), sigma (...,)).
-        Points pre-normalized to [-1,1] by the renderer."""
+        Points arrive reference-normalized from the renderer; ``domain``
+        places the grid over the scene volume within that space."""
+        from nerf_tpu.models.common import remap_domain
+
+        points = remap_domain(points, self.domain)
         shape = points.shape[:-1]
         d = viewdirs.reshape(-1, 3)
         if points.ndim == 3 and self.use_grid_kernel:

@@ -232,12 +232,14 @@ class FusedGridRender:
                  near: float, far: float, normalize: bool,
                  softplus_sigma: bool, interp_dtype: str = "bfloat16",
                  tile_rays: int = 64, seg_samples: int = 8, sps: int = 2,
+                 domain: tuple = (-1.0, 1.0),
                  interpret: bool = False, force: bool = False):
         self.grid_fn = grid_fn
         self.basis_fn = basis_fn
         self.sel = jnp.asarray(sel, jnp.float32)
         self.r, self.c = int(grid_res), int(channels)
         self.near, self.far, self.normalize = float(near), float(far), normalize
+        self.domain = (float(domain[0]), float(domain[1]))
         self.softplus_sigma = softplus_sigma
         if interp_dtype == "float32":
             self.cdt, self.prec = jnp.float32, HIGHEST
@@ -259,15 +261,20 @@ class FusedGridRender:
                 and not os.environ.get("NERF_TPU_NO_FUSED_GRID_RENDER"))
 
     def _cells(self, rays_o, rays_d, t):
-        """Per-axis float cell coordinates (R, S), the [near,far]->[-1,1]
-        normalization folded into one ray->cell affine."""
+        """Per-axis float cell coordinates (R, S): the [near,far]->[-1,1]
+        normalization (when active) AND the model's domain cube
+        (registry.py::grid_domain) folded into one ray->cell affine."""
         r = self.r
+        lo, hi = self.domain
+        ext = hi - lo
         if self.normalize:
-            scale = (r - 1.0) / (self.far - self.near)
-            off = -self.near * scale
-        else:  # raw points interpreted on the grid's [-1,1] domain
-            scale = (r - 1.0) / 2.0
-            off = (r - 1.0) / 2.0
+            s_n = 2.0 / (self.far - self.near)          # world -> normalized
+            o_n = -2.0 * self.near / (self.far - self.near) - 1.0
+            scale = (r - 1.0) * s_n / ext               # -> domain -> cells
+            off = (r - 1.0) * (o_n - lo) / ext
+        else:  # raw points already in the model's input space
+            scale = (r - 1.0) / ext
+            off = (r - 1.0) * (-lo) / ext
         return [
             jnp.clip(
                 (scale * rays_o[:, a:a + 1] + off)
@@ -403,6 +410,7 @@ def make_fused_grid_render(model, near, far, normalize=True,
             grid_res=model.grid_res, channels=model.channels,
             near=near, far=far, normalize=normalize,
             softplus_sigma=True, interp_dtype=model.interp_dtype,
+            domain=model.domain,
             interpret=interpret, force=force,
         )
         return fr if (model.use_grid_kernel and fr.supported()) else None
@@ -431,6 +439,7 @@ def make_fused_grid_render(model, near, far, normalize=True,
             channels=model.pos_grid.shape[-1],
             near=near, far=far, normalize=normalize,
             softplus_sigma=False,  # baked FastNeRF uses relu density
+            domain=model.domain,
             interpret=interpret, force=force,
         )
         return fr if (model.use_grid_kernel and fr.supported()) else None

@@ -202,6 +202,26 @@ def test_make_eval_render_integration():
                                atol=3e-5)
 
 
+def test_domain_parity():
+    """Non-default grid domain (the scene-volume cube from
+    registry.py::grid_domain): the kernel's composed ray->cell affine must
+    match the model's own remap_domain + trilinear route, including points
+    that exit the domain on some axes (border clamp)."""
+    dom = (-2.75, -1.25)
+    model = PlenoxelsModel(grid_res=16, interp_dtype="float32",
+                           use_grid_kernel=False, domain=dom)
+    rng = np.random.RandomState(29)
+    params = {"grid": jnp.asarray(
+        rng.normal(scale=0.5, size=(16, 16, 16, model.channels)).astype(
+            np.float32))}
+    fr = make_fused_grid_render(
+        PlenoxelsModel(grid_res=16, interp_dtype="float32", domain=dom),
+        NEAR, FAR, normalize=True, interpret=True, force=True)
+    o, dirs, t = _coherent_rays(64, 16, seed=29)
+    out = jax.jit(fr)(params, o, dirs, dirs, t)
+    _check(out, _reference(model.apply, params, o, dirs, t))
+
+
 def test_unsupported_shapes_return_none():
     assert make_fused_grid_render(
         PlenoxelsModel(grid_res=12), NEAR, FAR, force=True) is None
