@@ -36,9 +36,15 @@ import numpy as np
 
 
 def _make_model(model_type: str, compute_dtype: str):
+    from nerf_tpu.config import Config
     from nerf_tpu.models import create_model
+    from nerf_tpu.models.registry import grid_domain
 
-    kwargs = {"compute_dtype": compute_dtype}
+    # grid families carry the scene-volume domain exactly as training
+    # would build them (create_model drops it for the MLP families) — the
+    # render bench's cell-traversal geometry then matches real workloads
+    kwargs = {"compute_dtype": compute_dtype,
+              "domain": grid_domain(Config())}
     if model_type == "kilonerf":
         # paper-shaped tiny networks (512 x hidden 32), not the monolithic
         # 256-wide default the other families share
