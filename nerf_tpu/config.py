@@ -79,6 +79,12 @@ class Config:
     lr_decay_factor: float = 0.1
     lr_min: float = 1e-5
     seed: int = 42
+    tv_lambda: float = 0.0         # total-variation weight on the density
+                                   # channel (grid families with a .tv hook,
+                                   # i.e. plenoxels / baked-plenoctree
+                                   # training; the Plenoxels paper's core
+                                   # prior — try ~1e-3 on sparse views)
+    tv_sh_lambda: float = 0.0      # TV weight on the SH/color channels
 
     # --- checkpointing ---
     save_path: str = "./models"

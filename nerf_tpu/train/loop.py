@@ -64,6 +64,31 @@ def render_settings_from_config(cfg: Config, ndc: bool = False) -> RenderSetting
     )
 
 
+def make_regularizer(cfg: Config, model):
+    """``cfg.tv_lambda`` / ``cfg.tv_sh_lambda`` -> a loss-term callable
+    over the (params, fine_params) pair, or None when both are 0. Only
+    grid families expose a ``.tv`` hook (plenoxels — the paper's prior);
+    setting the knobs for any other family is a config error."""
+    if cfg.tv_lambda == 0.0 and cfg.tv_sh_lambda == 0.0:
+        return None
+    if not hasattr(model, "tv"):
+        raise ValueError(
+            f"tv_lambda/tv_sh_lambda set but model '{cfg.model_type}' has "
+            "no TV regularizer (voxel-grid families only)"
+        )
+
+    def reg(param_pair):
+        total = jnp.zeros((), jnp.float32)
+        for p in param_pair:
+            if p and "grid" in p:
+                tv_sigma, tv_sh = model.tv(p)
+                total = (total + cfg.tv_lambda * tv_sigma
+                         + cfg.tv_sh_lambda * tv_sh)
+        return total
+
+    return reg
+
+
 # Families whose field evaluation is table-gathers (trilinear grids / hash
 # lookups) rather than matmuls. Their z-pair slice gathers (ops/interp.py)
 # materialize (chunk*S, 2, C) temporaries in lane-padded layouts, so the
@@ -233,6 +258,7 @@ def fit(
         model.apply if fused_render is not None  # field kernel not needed
         else resolve_apply_fn(model, use_pallas=cfg.use_pallas)
     )
+    regularizer = make_regularizer(cfg, model)
     train_step = make_train_step(
         model,
         tx,
@@ -244,6 +270,7 @@ def fit(
         apply_fn=apply_fn,
         fused_render=fused_render,
         epoch_sampling=cfg.epoch_sampling,
+        regularizer=regularizer,
     )
 
     # Scan-chunked stepping: between host touchpoints (log/val/save), run N
@@ -280,6 +307,7 @@ def fit(
                 apply_fn=apply_fn,
                 fused_render=fused_render,
                 epoch_sampling=cfg.epoch_sampling,
+                regularizer=regularizer,
             )
         return _step_fns[c]
 

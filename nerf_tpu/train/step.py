@@ -152,9 +152,14 @@ def _make_step_body(
     data_sharding=None,
     fused_render=None,
     epoch_sampling: bool = False,
+    regularizer: Optional[Callable] = None,
 ):
     """The un-jitted single-iteration body shared by the one-step and
-    scanned trainers: sample batch -> render -> MSE -> grad -> optax update."""
+    scanned trainers: sample batch -> render -> MSE -> grad -> optax update.
+
+    ``regularizer(param_pair) -> scalar`` is added to the photometric loss
+    (but not to the logged mse) — fit() wires the grid families' TV prior
+    through it."""
     # epoch-permutation sampling keys the per-epoch cipher off a stream
     # disjoint from the per-step render keys
     k_epoch = jax.random.fold_in(base_key, 0x7FFFFFFF)
@@ -167,7 +172,7 @@ def _make_step_body(
         if use_fused_train:
             from nerf_tpu.render.renderer import render_rays_train
 
-            return render_rays_train(
+            loss, mse = render_rays_train(
                 fused_render,
                 params,
                 batch.rays_o,
@@ -178,6 +183,9 @@ def _make_step_body(
                 fine_params=fine_params if fine_params else None,
                 viewdirs=batch.viewdirs,
             )
+            if regularizer is not None:
+                loss = loss + regularizer(param_pair)
+            return loss, mse
         out = render_rays(
             apply_fn,
             params,
@@ -193,6 +201,8 @@ def _make_step_body(
         loss = mse
         if settings.num_fine_samples > 0:
             loss = loss + jnp.mean((out.rgb_coarse - batch.rgb) ** 2)
+        if regularizer is not None:
+            loss = loss + regularizer(param_pair)
         return loss, mse
 
     def step(state: TrainState, pool: RayPool):
@@ -245,6 +255,7 @@ def make_train_step(
     apply_fn: Optional[Callable] = None,
     fused_render=None,
     epoch_sampling: bool = False,
+    regularizer: Optional[Callable] = None,
 ):
     """Returns ``step(state, pool) -> (state, metrics)`` (jitted).
 
@@ -259,6 +270,7 @@ def make_train_step(
     step = _make_step_body(
         apply_fn, tx, settings, batch_size, base_key, data_sharding,
         fused_render=fused_render, epoch_sampling=epoch_sampling,
+        regularizer=regularizer,
     )
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -276,6 +288,7 @@ def make_scan_train_step(
     apply_fn: Optional[Callable] = None,
     fused_render=None,
     epoch_sampling: bool = False,
+    regularizer: Optional[Callable] = None,
 ):
     """Returns ``step_n(state, pool) -> (state, metrics)`` running
     ``num_steps`` training iterations inside ONE compiled program via
@@ -296,6 +309,7 @@ def make_scan_train_step(
     one_step = _make_step_body(
         apply_fn, tx, settings, batch_size, base_key, data_sharding,
         fused_render=fused_render, epoch_sampling=epoch_sampling,
+        regularizer=regularizer,
     )
 
     def step_n(state: TrainState, pool: RayPool):
