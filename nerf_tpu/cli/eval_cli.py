@@ -70,6 +70,10 @@ def main(argv=None) -> None:
     cfg = parse_config_file(args.config)
     meta = read_metadata(args.checkpoint)
     cfg.model_type = meta.get("model_type", cfg.model_type).lower()
+    if "grid_res" in meta:
+        # grids may have been upsampled mid-training (upsample_steps);
+        # the checkpoint's recorded resolution wins
+        cfg.grid_res = int(meta["grid_res"])
     os.makedirs(args.output, exist_ok=True)
 
     print("===== Evaluation Configuration Summary =====")

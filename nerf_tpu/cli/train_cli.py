@@ -33,6 +33,10 @@ def main(argv=None) -> None:
         meta = read_metadata(args.resume)
         cfg.model_type = meta.get("model_type", cfg.model_type).lower()
         print(f"Resuming training with model type from checkpoint: {cfg.model_type}")
+        if "grid_res" in meta:
+            # the checkpoint's grid may have moved under upsample_steps;
+            # its recorded resolution wins so the restored shapes match
+            cfg.grid_res = int(meta["grid_res"])
 
     fit(cfg, resume_path=args.resume, max_steps=args.max_steps)
 

@@ -85,6 +85,12 @@ class Config:
                                    # training; the Plenoxels paper's core
                                    # prior — try ~1e-3 on sparse views)
     tv_sh_lambda: float = 0.0      # TV weight on the SH/color channels
+    upsample_steps: str = ""       # coarse-to-fine schedule for voxel-grid
+                                   # families (the Plenoxels paper's
+                                   # 128->256 recipe): "step:res,step:res",
+                                   # e.g. "2000:64,5000:128" — at each step
+                                   # the grid is trilinearly upsampled and
+                                   # the optimizer moments restart
 
     # --- checkpointing ---
     save_path: str = "./models"

@@ -89,6 +89,28 @@ def make_regularizer(cfg: Config, model):
     return reg
 
 
+def parse_upsample_steps(spec: str) -> list:
+    """``"2000:64,5000:128"`` -> ``[(2000, 64), (5000, 128)]`` — the
+    coarse-to-fine schedule (Plenoxels paper sec. 5: start 128^3, upsample
+    to 256^3 mid-training). Steps and resolutions must strictly increase."""
+    if not spec.strip():
+        return []
+    out = []
+    for item in spec.split(","):
+        s, _, r = item.strip().partition(":")
+        if not r:
+            raise ValueError(
+                f"upsample_steps entries are 'step:res', got '{item}'")
+        out.append((int(s), int(r)))
+    if out[0][0] <= 0:
+        raise ValueError("upsample steps must be > 0")
+    for (s0, r0), (s1, r1) in zip(out, out[1:]):
+        if s1 <= s0 or r1 <= r0:
+            raise ValueError(
+                f"upsample_steps must increase in step and res: '{spec}'")
+    return out
+
+
 # Families whose field evaluation is table-gathers (trilinear grids / hash
 # lookups) rather than matmuls. Their z-pair slice gathers (ops/interp.py)
 # materialize (chunk*S, 2, C) temporaries in lane-padded layouts, so the
@@ -324,32 +346,89 @@ def fit(
         if v == 0 and not cfg.first_step_render:
             v = cfg.val_interval
         candidates.append(v)
+        if upsample_sched and upsample_sched[0][0] - 1 >= i:
+            # chunks must END right before an upsample step so the host
+            # can swap the grid between dispatches
+            candidates.append(upsample_sched[0][0] - 1)
         return min(candidates)
-    eval_apply_fn, eval_fused = apply_fn, fused_render
-    if fused_render is None or eval_model is not model:
-        # the eval route admits kernels the train route can't use: the
-        # eval-only fused grid render (no VJP), and — on a single-process
-        # mesh — the kernel-enabled grid model (train traced the pure path
-        # above; make_eval_render's shard_map partitions the kernel)
-        eval_fused = resolve_fused_render(eval_model, settings,
-                                          use_pallas=cfg.use_pallas,
-                                          for_train=False)
-        if eval_fused is not None:
-            eval_apply_fn = eval_model.apply
-        elif eval_model is not model:
-            eval_apply_fn = resolve_apply_fn(eval_model,
-                                             use_pallas=cfg.use_pallas)
-    eval_render = make_eval_render(
-        eval_model, settings, apply_fn=eval_apply_fn, fused_render=eval_fused,
-        # rays shard_map'd across chips (per-chip Pallas kernels engage);
-        # multi-host keeps the GSPMD path (mesh spans processes)
-        mesh=mesh if jax.process_count() == 1 else None,
-    )
+    def build_eval_render():
+        eval_apply_fn, eval_fused = apply_fn, fused_render
+        if fused_render is None or eval_model is not model:
+            # the eval route admits kernels the train route can't use: the
+            # eval-only fused grid render (no VJP), and — on a single-process
+            # mesh — the kernel-enabled grid model (train traced the pure
+            # path above; make_eval_render's shard_map partitions the kernel)
+            eval_fused = resolve_fused_render(eval_model, settings,
+                                              use_pallas=cfg.use_pallas,
+                                              for_train=False)
+            if eval_fused is not None:
+                eval_apply_fn = eval_model.apply
+            elif eval_model is not model:
+                eval_apply_fn = resolve_apply_fn(eval_model,
+                                                 use_pallas=cfg.use_pallas)
+        return make_eval_render(
+            eval_model, settings, apply_fn=eval_apply_fn,
+            fused_render=eval_fused,
+            # rays shard_map'd across chips (per-chip Pallas kernels
+            # engage); multi-host keeps the GSPMD path (mesh spans
+            # processes)
+            mesh=mesh if jax.process_count() == 1 else None,
+        )
+
+    eval_render = build_eval_render()
+
+    # Coarse-to-fine (cfg.upsample_steps): entries at or before the resume
+    # point — or not above the restored grid's resolution — are already
+    # baked into the checkpoint and drop out.
+    upsample_sched = parse_upsample_steps(cfg.upsample_steps)
+    if upsample_sched and not hasattr(model, "upsample"):
+        raise ValueError(
+            f"upsample_steps set but model '{cfg.model_type}' has no "
+            "upsample hook (voxel-grid families only)"
+        )
+    if upsample_sched and "grid" in state.params:
+        cur_res = int(state.params["grid"].shape[0])
+        upsample_sched = [(s, r) for s, r in upsample_sched
+                          if s > start_step and r > cur_res]
+
+    def do_upsample(state: TrainState, new_res: int) -> TrainState:
+        """Trilinearly upsample the grid(s) to ``new_res`` and restart the
+        optimizer moments at the new shape (the paper restarts Adam too);
+        randomness and batch order are untouched (they key off state.step)."""
+        nonlocal model, eval_model, eval_render
+        params = model.upsample(state.params, new_res)
+        fine = (model.upsample(state.fine_params, new_res)
+                if state.fine_params else {})
+        new_state = TrainState(
+            step=state.step, params=params, fine_params=fine,
+            opt_state=tx.init((params, fine)),
+        )
+        if replicated is not None:
+            new_state = jax.device_put(new_state, replicated)
+        import dataclasses
+
+        same = eval_model is model
+        model = dataclasses.replace(model, grid_res=new_res)
+        eval_model = (model if same
+                      else dataclasses.replace(eval_model, grid_res=new_res))
+        # the eval path captures grid_res statically (fused grid render
+        # affine, precompute hook) — rebuild it; the TRAIN step reads grid
+        # shapes from params and simply retraces at the new shape
+        eval_render = build_eval_render()
+        return new_state
+
     schedule = lr_schedule(
         cfg.learning_rate, cfg.lr_decay, cfg.lr_decay_factor, cfg.lr_min
     )
 
     os.makedirs(cfg.save_path, exist_ok=True)
+
+    def meta_extra():
+        # record the CURRENT grid resolution (it moves under upsample_steps)
+        # so resume/eval rebuild the state at the right shape
+        return ({"grid_res": int(model.grid_res)}
+                if hasattr(model, "grid_res") else None)
+
     saver = AsyncCheckpointSaver()  # interval saves overlap with training
     logger = MetricLogger(
         log_dir=cfg.log_dir,
@@ -420,6 +499,15 @@ def fit(
             pos = start_step
             chunk_idx = 0
             while pos < num_iters:
+                while upsample_sched and pos >= upsample_sched[0][0]:
+                    _, new_res = upsample_sched.pop(0)
+                    with throughput.exclude():
+                        state = do_upsample(state, new_res)
+                    if primary:
+                        tqdm.write(
+                            f"[{format_elapsed_time(start_time)}] Upsampled "
+                            f"grid to {new_res}^3 at iteration {pos}"
+                        )
                 ev = next_event(pos)
                 boundary = min(ev + 1, num_iters)
                 c = min(max_chunk, boundary - pos)
@@ -448,7 +536,9 @@ def fit(
 
                 if step % cfg.save_interval == 0 and 0 < step < num_iters - 1:
                     with throughput.exclude():
-                        path = saver.save(state, cfg.save_path, cfg.model_type, step)
+                        path = saver.save(state, cfg.save_path,
+                                          cfg.model_type, step,
+                                          extra=meta_extra())
                     if primary:
                         tqdm.write(
                             f"[{format_elapsed_time(start_time)}] Model saved to "
@@ -463,7 +553,8 @@ def fit(
                 pbar.update(c)
 
         saver.wait()  # durability before the final (blocking) save
-        final = save_checkpoint(state, cfg.save_path, cfg.model_type, num_iters)
+        final = save_checkpoint(state, cfg.save_path, cfg.model_type,
+                                num_iters, extra=meta_extra())
         elapsed = format_elapsed_time(start_time)
         if primary:
             tqdm.write(f"[{elapsed}] Training complete!")
@@ -473,7 +564,8 @@ def fit(
         if primary:
             print(f"\n[{elapsed}] Keyboard interrupt! Saving current checkpoint...")
         saver.wait()
-        path = save_checkpoint(state, cfg.save_path, cfg.model_type, step)
+        path = save_checkpoint(state, cfg.save_path, cfg.model_type, step,
+                               extra=meta_extra())
         if primary:
             print(f"[{elapsed}] Checkpoint saved to {path}. Exiting training.")
     finally:

@@ -29,7 +29,8 @@ def _state_dir(save_path: str, model_type: str, step: int) -> str:
 
 
 def save_checkpoint(
-    state: Any, save_path: str, model_type: str, step: int
+    state: Any, save_path: str, model_type: str, step: int,
+    extra: dict | None = None,
 ) -> str:
     """Save a train-state pytree; returns the checkpoint directory."""
     import orbax.checkpoint as ocp
@@ -37,7 +38,7 @@ def save_checkpoint(
     path = _state_dir(save_path, model_type, step)
     with ocp.StandardCheckpointer() as cp:
         cp.save(path, jax.tree.map(lambda x: x, state), force=True)
-    _write_meta(path, model_type, step)
+    _write_meta(path, model_type, step, extra)
     return path
 
 
@@ -59,11 +60,15 @@ def read_metadata(path: str) -> dict:
     raise FileNotFoundError(f"no checkpoint metadata for {path}")
 
 
-def _write_meta(path: str, model_type: str, step: int) -> None:
+def _write_meta(path: str, model_type: str, step: int,
+                extra: dict | None = None) -> None:
     if jax.process_index() != 0:
         return  # Orbax saves are collective; the meta sidecar is process-0's
+    meta = {"step": int(step), "model_type": model_type}
+    if extra:
+        meta.update(extra)  # e.g. grid_res after a coarse-to-fine upsample
     with open(path + ".meta.json", "w") as f:
-        json.dump({"step": int(step), "model_type": model_type}, f)
+        json.dump(meta, f)
 
 
 class AsyncCheckpointSaver:
@@ -79,7 +84,8 @@ class AsyncCheckpointSaver:
 
         self._cp = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
 
-    def save(self, state: Any, save_path: str, model_type: str, step: int) -> str:
+    def save(self, state: Any, save_path: str, model_type: str, step: int,
+             extra: dict | None = None) -> str:
         import orbax.checkpoint as ocp
 
         path = _state_dir(save_path, model_type, step)
@@ -88,7 +94,7 @@ class AsyncCheckpointSaver:
             path, args=ocp.args.StandardSave(jax.tree.map(lambda x: x, state)),
             force=True,
         )
-        _write_meta(path, model_type, step)
+        _write_meta(path, model_type, step, extra)
         return path
 
     def wait(self) -> None:
