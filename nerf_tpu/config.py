@@ -91,6 +91,14 @@ class Config:
                                    # e.g. "2000:64,5000:128" — at each step
                                    # the grid is trilinearly upsampled and
                                    # the optimizer moments restart
+    distill_from: str = ""         # teacher checkpoint path: run KiloNeRF-
+                                   # style field distillation (random
+                                   # points/dirs over the scene volume,
+                                   # student regresses teacher rgb/sigma)
+                                   # before the photometric loop (fresh
+                                   # runs only; see train/distill.py)
+    distill_steps: int = 0         # field-matching steps before fine-tuning
+    distill_batch: int = 16384     # points per distillation step
 
     # --- checkpointing ---
     save_path: str = "./models"

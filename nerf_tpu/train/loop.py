@@ -274,6 +274,20 @@ def fit(
         start_step = int(meta["step"])
         if primary:
             print(f"Resuming training from iteration {start_step}")
+    elif cfg.distill_from and cfg.distill_steps > 0:
+        # KiloNeRF-style teacher distillation before the photometric loop
+        # (train/distill.py); a resumed checkpoint already carries it
+        from nerf_tpu.train.distill import run_distillation
+
+        if primary:
+            print(f"Distilling from teacher {cfg.distill_from} "
+                  f"({cfg.distill_steps} field-matching steps)...")
+        state = run_distillation(
+            cfg, model, tx, state, k_train, data_sharding=data_shard,
+            primary=primary,
+        )
+        if replicated is not None:
+            state = jax.device_put(state, replicated)
 
     fused_render = resolve_fused_render(model, settings, use_pallas=cfg.use_pallas)
     apply_fn = (
