@@ -62,6 +62,14 @@ def main(argv=None) -> None:
              "PlenOctrees papers' acceleration — rendering then costs "
              "trilinear gathers + a tiny contraction per sample, no network",
     )
+    parser.add_argument(
+        "--occupancy", type=int, default=0, metavar="GRID_RES",
+        help="bake a binary occupancy prior at this resolution and draw "
+             "the coarse samples from its inverse CDF (TPU-shaped "
+             "empty-space skipping, ops/occupancy.py): equal quality at a "
+             "fraction of num_samples — pair with a smaller num_samples "
+             "in the config for faster renders",
+    )
     args = parser.parse_args(argv)
 
     from nerf_tpu.utils.platform import apply_platform_env
@@ -108,6 +116,33 @@ def main(argv=None) -> None:
         ndc = False
 
     settings = render_settings_from_config(cfg, ndc=ndc)
+    occ = None
+    if args.occupancy:
+        from nerf_tpu.models.registry import grid_domain
+        from nerf_tpu.ops.occupancy import (
+            OccupancyGrid,
+            bake_occupancy,
+            sigma_field,
+        )
+        from nerf_tpu.train.step import resolve_apply_fn
+
+        print(f"Baking a {args.occupancy}^3 occupancy prior...")
+        occ_params = (
+            state.fine_params
+            if cfg.num_fine_samples > 0 and state.fine_params
+            else state.params
+        )
+        dom = grid_domain(cfg)
+        occ = OccupancyGrid(
+            grid=bake_occupancy(
+                sigma_field(
+                    resolve_apply_fn(model, use_pallas=cfg.use_pallas),
+                    occ_params,
+                ),
+                grid_res=args.occupancy, domain=dom,
+            ),
+            domain=dom,
+        )
     if args.bake:
         if not hasattr(model, "bake"):
             raise SystemExit(
@@ -141,11 +176,12 @@ def main(argv=None) -> None:
                                      use_pallas=cfg.use_pallas,
                                      for_train=False)
         renderer = make_eval_render(baked_model, settings, apply_fn=apply_fn,
-                                    fused_render=fused, mesh=_eval_mesh())
+                                    fused_render=fused, mesh=_eval_mesh(),
+                                    occupancy=occ)
     else:
         render_params = (state.params, state.fine_params)
         renderer = make_eval_render(model, settings, use_pallas=cfg.use_pallas,
-                                    mesh=_eval_mesh())
+                                    mesh=_eval_mesh(), occupancy=occ)
     key = jax.random.key(cfg.seed)
 
     import imageio.v2 as imageio

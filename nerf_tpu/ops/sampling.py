@@ -79,6 +79,7 @@ def sample_pdf(
     weights: jax.Array,
     num_samples: int,
     deterministic: bool = False,
+    u: jax.Array | None = None,
 ) -> jax.Array:
     """Inverse-transform sampling from a piecewise-constant PDF.
 
@@ -87,6 +88,9 @@ def sample_pdf(
       weights: (num_rays, M) unnormalized weights per bin.
       num_samples: number of fine samples to draw per ray.
       deterministic: evenly spaced u instead of uniform random.
+      u: optional (num_rays, num_samples) quantiles in [0, 1) overriding
+        both modes — pass SORTED u (e.g. stratified) to get monotonic t
+        directly usable by the compositor (ops/occupancy.py does).
 
     Returns (num_rays, num_samples) t-values. Entirely chip-local: a
     vectorized ``searchsorted`` over static shapes — no sorting network or
@@ -98,7 +102,9 @@ def sample_pdf(
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (R, M+1)
 
     num_rays = cdf.shape[0]
-    if deterministic:
+    if u is not None:
+        pass
+    elif deterministic:
         u = jnp.linspace(0.0, 1.0 - 1e-5, num_samples, dtype=jnp.float32)
         u = jnp.broadcast_to(u, (num_rays, num_samples))
     else:

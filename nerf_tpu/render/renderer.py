@@ -127,6 +127,7 @@ def render_rays(
     fine_params: Optional[dict] = None,
     viewdirs: Optional[jax.Array] = None,
     fused_render=None,
+    occupancy=None,
 ) -> RenderOutput:
     """Render a batch of rays. Jittable; no data-dependent control flow.
 
@@ -140,21 +141,35 @@ def render_rays(
       fused_render: optional FusedNerfRender — routes each pass through the
         fully fused Pallas render kernel instead of apply_fn + XLA
         compositing (see ops/pallas/fused_render.py).
+      occupancy: optional ops.occupancy.OccupancyGrid — the coarse pass
+        then draws its samples from the occupancy prior's inverse CDF
+        instead of uniform stratification (TPU-shaped empty-space skip:
+        static sample count, samples moved into occupied space).
     """
     num_rays = rays_o.shape[0]
     if viewdirs is None:
         viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
     k_coarse, k_fine = jax.random.split(key)
-    t = stratified_sample(
-        k_coarse,
-        settings.near,
-        settings.far,
-        settings.num_samples,
-        num_rays,
-        jitter_mode=settings.jitter_mode,
-        perturb=settings.perturb,
-    )
+    if occupancy is not None:
+        from nerf_tpu.ops.occupancy import occupancy_t
+
+        t = occupancy_t(
+            k_coarse, occupancy, rays_o, rays_d,
+            settings.near, settings.far, settings.num_samples,
+            normalize=settings.normalize_positions,
+            perturb=settings.perturb,
+        )
+    else:
+        t = stratified_sample(
+            k_coarse,
+            settings.near,
+            settings.far,
+            settings.num_samples,
+            num_rays,
+            jitter_mode=settings.jitter_mode,
+            perturb=settings.perturb,
+        )
     coarse = _render_pass(
         apply_fn, params, rays_o, rays_d, viewdirs, t, settings,
         fused_render=fused_render,
@@ -267,6 +282,7 @@ def render_image(
     fine_params: Optional[dict] = None,
     viewdirs: Optional[jax.Array] = None,
     fused_render=None,
+    occupancy=None,
 ) -> RenderOutput:
     """Render many rays (e.g. a full image) under a fixed memory bound.
 
@@ -296,6 +312,7 @@ def render_image(
         return render_rays(
             apply_fn, params, o, d, k, settings,
             fine_params=fine_params, viewdirs=v, fused_render=fused_render,
+            occupancy=occupancy,
         )
 
     out = jax.lax.map(render_tile, (keys, ro, rd, vd))

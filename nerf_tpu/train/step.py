@@ -329,6 +329,7 @@ def make_eval_render(
     apply_fn: Optional[Callable] = None,
     fused_render=None,
     mesh=None,
+    occupancy=None,
 ):
     """Returns a jitted full-image renderer:
     ``render(params, fine_params, rays_o, rays_d, key, viewdirs=None,
@@ -380,6 +381,10 @@ def make_eval_render(
             fine_params=fine_params if fine_params else None,
             viewdirs=viewdirs,
             fused_render=fused_render,
+            # an OccupancyGrid prior concentrates the coarse samples in
+            # occupied space (ops/occupancy.py) — a closure constant, so
+            # it replicates onto every chip under the shard_map below
+            occupancy=occupancy,
         )
 
     if use_mesh:
