@@ -182,13 +182,57 @@ def _render_mode() -> None:
         "vs_baseline": (round((n / dt) / 201_000.0, 3)
                         if default_shape else None),
         "ms_per_frame": round(dt * 1e3, 1),
+        "platform": jax.devices()[0].platform,
     }))
+
+
+def _probe_default_backend(timeout_s: float) -> bool:
+    """True if ``jax.devices()`` answers within ``timeout_s`` in a FRESH
+    subprocess (which releases the device on exit). The tunneled-TPU
+    plugin hangs indefinitely in a connect retry loop when the tunnel is
+    down — probing in-process would wedge the bench with no recourse."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        )
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _guard_backend() -> None:
+    """CPU-fallback guard: if the default backend is unreachable, restrict
+    to CPU so the bench still emits its JSON line (the "platform" field
+    then says cpu) instead of hanging the harness. Explicit
+    NERF_TPU_PLATFORM skips the probe."""
+    if os.environ.get("NERF_TPU_PLATFORM"):
+        return
+    timeout_s = float(os.environ.get("NERF_TPU_BENCH_PROBE_TIMEOUT", 240))
+    if _probe_default_backend(timeout_s):
+        return
+    import sys
+
+    print(
+        f"WARNING: default JAX backend unreachable after {timeout_s:.0f}s "
+        "(TPU tunnel down?) — benchmarking on CPU; numbers are NOT "
+        "comparable to TPU rows.",
+        file=sys.stderr,
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main() -> None:
     from nerf_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+    _guard_backend()
     if os.environ.get("NERF_TPU_BENCH_MODE", "train") == "render":
         _render_mode()
         return
@@ -220,6 +264,8 @@ def main() -> None:
             f"pure-JAX baseline ({base_rps:.0f} rays/s) — regression!",
             file=sys.stderr,
         )
+    import jax
+
     print(
         json.dumps(
             {
@@ -229,6 +275,7 @@ def main() -> None:
                 "vs_baseline": round(fast_rps / base_rps, 3),
                 "fast_rps": round(fast_rps, 1),
                 "base_rps": round(base_rps, 1),
+                "platform": jax.devices()[0].platform,
             }
         )
     )
