@@ -212,6 +212,8 @@ def _guard_backend() -> None:
     NERF_TPU_PLATFORM skips the probe."""
     if os.environ.get("NERF_TPU_PLATFORM"):
         return
+    if os.environ.get("NERF_TPU_BENCH_SKIP_PROBE"):
+        return  # caller already verified the device (tpu_measurements.sh)
     timeout_s = float(os.environ.get("NERF_TPU_BENCH_PROBE_TIMEOUT", 240))
     if _probe_default_backend(timeout_s):
         return

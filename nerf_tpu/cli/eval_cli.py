@@ -94,8 +94,6 @@ def main(argv=None) -> None:
     print("=============================================")
 
     np.random.seed(cfg.seed)
-    model, _, state = create_train_state(cfg, jax.random.key(cfg.seed))
-    state = load_checkpoint(args.checkpoint, state)
 
     if cfg.dataset_type == "llff":
         from nerf_tpu.data.llff import load_llff
@@ -106,6 +104,13 @@ def main(argv=None) -> None:
         focal = data["focal"]
         poses = data["render_poses"][: cfg.num_render_poses]
         ndc = cfg.ndc
+        # match training (train/loop.py): the sampling interval comes from
+        # the dataset, not the config — NDC samples t in [0,1], non-NDC
+        # uses the reconstruction's world bounds. Grid-family domains are
+        # derived from these, so set them BEFORE building the model.
+        cfg.near, cfg.far = ((0.0, 1.0) if ndc else
+                             (float(data["near_world"]),
+                              float(data["far_world"])))
     else:
         images, _, focal = load_blender(
             cfg.dataset_path, mode="test", single_image=True,
@@ -114,6 +119,9 @@ def main(argv=None) -> None:
         h, w = images.shape[1:3]
         poses = spherical_orbit(cfg.num_render_poses)
         ndc = False
+
+    model, _, state = create_train_state(cfg, jax.random.key(cfg.seed))
+    state = load_checkpoint(args.checkpoint, state)
 
     settings = render_settings_from_config(cfg, ndc=ndc)
     occ = None

@@ -182,6 +182,18 @@ class BakedFastNeRF(NamedTuple):
 
     wants_tile_order = True     # class trait, see plenoxels.py
 
+    def beta(self, dirs: jax.Array) -> jax.Array:
+        """F_dir from the cache: lat/long lookup of the per-direction
+        factor weights — (N, 3) unit dirs -> (N, D). The single source of
+        the direction-grid parameterization (apply and the fused grid
+        render kernel's basis both call it)."""
+        t_res, p_res = self.beta_grid.shape[0], self.beta_grid.shape[1]
+        theta = jnp.arccos(jnp.clip(dirs[:, 2], -1.0, 1.0))
+        phi = jnp.arctan2(dirs[:, 1], dirs[:, 0])
+        u = theta / jnp.pi * (t_res - 1)
+        v = (phi + jnp.pi) / (2 * jnp.pi) * (p_res - 1)
+        return _bilinear(self.beta_grid, u, v)
+
     def apply(self, params, points: jax.Array, viewdirs: jax.Array):
         del params  # the grids ARE the parameters
         from nerf_tpu.models.common import remap_domain
@@ -207,14 +219,7 @@ class BakedFastNeRF(NamedTuple):
             vals = _trilinear(self.pos_grid, points.reshape(-1, 3))
         sigma = jax.nn.relu(vals[:, 0])
         factors = vals[:, 1:].reshape(-1, self.num_factors, 3)
-
-        t_res, p_res = self.beta_grid.shape[0], self.beta_grid.shape[1]
-        theta = jnp.arccos(jnp.clip(d[:, 2], -1.0, 1.0))
-        phi = jnp.arctan2(d[:, 1], d[:, 0])
-        u = theta / jnp.pi * (t_res - 1)
-        v = (phi + jnp.pi) / (2 * jnp.pi) * (p_res - 1)
-        beta = _bilinear(self.beta_grid, u, v)       # (N, D)
-
+        beta = self.beta(d)                          # (N, D)
         rgb = jax.nn.sigmoid(jnp.einsum("nd,ndc->nc", beta, factors))
         return rgb.reshape(*shape, 3), sigma.reshape(shape)
 

@@ -252,8 +252,11 @@ class FusedGridRender:
         self.force = force
 
     def supported(self) -> bool:
-        return (packable((self.r, self.r, self.r, self.c))
-                and jax.process_count() == 1
+        if not packable((self.r, self.r, self.r, self.c)):
+            return False
+        if self.force:
+            return True  # tests drive interpret mode off-TPU
+        return (jax.process_count() == 1
                 # the gather-baseline escape hatch disables ALL grid
                 # kernels; NO_FUSED_GRID_RENDER isolates this kernel from
                 # the channels-out tier (bench sweeps, debugging)
@@ -401,6 +404,8 @@ def make_fused_grid_render(model, near, far, normalize=True,
 
     if isinstance(model, PlenoxelsModel):
         l_dim = model.sh_dim
+        if model.channels > _LANES:  # sel rows would overflow the 32 lanes
+            return None
 
         fr = FusedGridRender(
             grid_fn=lambda p: (p["grid"], p.get("_packed")),
@@ -419,17 +424,13 @@ def make_fused_grid_render(model, near, far, normalize=True,
 
     if isinstance(model, BakedFastNeRF):
         d_dim = model.num_factors
+        if model.pos_grid.shape[-1] > _LANES:  # 1 + 3D channel rows
+            return None
 
         def beta_basis(dirs):
-            from nerf_tpu.models.fastnerf import _bilinear
-
-            t_res, p_res = model.beta_grid.shape[0], model.beta_grid.shape[1]
-            theta = jnp.arccos(jnp.clip(dirs[:, 2], -1.0, 1.0))
-            phi = jnp.arctan2(dirs[:, 1], dirs[:, 0])
-            u = theta / jnp.pi * (t_res - 1)
-            v = (phi + jnp.pi) / (2 * jnp.pi) * (p_res - 1)
-            return _expand_basis(_bilinear(model.beta_grid, u, v),
-                                 repeat_block=False)
+            # one source for the direction-grid parameterization: the
+            # cache's own beta(); kernel-vs-fallback exactness depends on it
+            return _expand_basis(model.beta(dirs), repeat_block=False)
 
         fr = FusedGridRender(
             grid_fn=lambda p: (model.pos_grid, model.packed_pos),

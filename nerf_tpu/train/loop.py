@@ -212,14 +212,18 @@ def fit(
     # (host-side) ray arrays; device_put with a global sharding places each
     # process's addressable shards from the identical host value.
     scene = load_scene(cfg, sharding=data_shard)
-    settings = render_settings_from_config(cfg, ndc=scene.ndc)
-    # the scene dictates the sampling interval and background (NDC scenes
-    # sample t in [0,1] and composite without a white background)
     import dataclasses
 
+    # The scene dictates the sampling interval (LLFF derives near/far from
+    # dataset bounds; NDC uses [0,1]). Rebind cfg BEFORE the model is
+    # built: grid-family domains are the normalized image of the scene
+    # volume (registry.py::grid_domain) and must use the SAME near/far the
+    # renderer will normalize positions with.
+    cfg = dataclasses.replace(cfg, near=float(scene.near),
+                              far=float(scene.far))
+    settings = render_settings_from_config(cfg, ndc=scene.ndc)
     settings = dataclasses.replace(
-        settings, near=scene.near, far=scene.far,
-        white_background=scene.white_background,
+        settings, white_background=scene.white_background,
     )
     if primary:
         print(
@@ -243,6 +247,17 @@ def fit(
             )
 
     # --- model / state ---
+    if resume_path is not None:
+        # the checkpoint is self-describing: its model_type (and, for grid
+        # families that moved under upsample_steps, its grid_res) wins over
+        # the config so the restored shapes match — for ALL fit() callers,
+        # not just the CLI (which also applies this for its summary print)
+        meta = read_metadata(resume_path)
+        cfg = dataclasses.replace(
+            cfg,
+            model_type=meta.get("model_type", cfg.model_type).lower(),
+            grid_res=int(meta.get("grid_res", cfg.grid_res)),
+        )
     model, tx, state = create_train_state(cfg, k_init)
     eval_model = model
     if replicated is not None and getattr(model, "use_grid_kernel", False):

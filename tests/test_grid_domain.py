@@ -160,6 +160,39 @@ def test_plenoctree_bake_propagates_domain():
         np.asarray(baked_params["grid"][0, 0, 0, 0]), raw[0], atol=1e-4)
 
 
+def test_fit_uses_scene_bounds_for_llff_domain(tmp_path):
+    """Non-NDC LLFF scenes derive near/far from dataset bounds; fit() must
+    rebind cfg before building the model so grid_domain places the voxel
+    grid in the frame the renderer actually normalizes with (found in
+    review: the domain used the config's blender defaults 2/6 while the
+    renderer used the reconstruction's world bounds)."""
+    from nerf_tpu.data.pipeline import load_scene
+    from nerf_tpu.train.loop import fit
+    from tests.synthetic import make_synthetic_llff_scene
+
+    root = tmp_path / "llff"
+    make_synthetic_llff_scene(str(root), h=16, w=20, num_images=6)
+    cfg = Config(
+        dataset_path=str(root), dataset_type="llff", llff_factor=1,
+        ndc=False, model_type="plenoxels", grid_res=8, learning_rate=0.01,
+        num_random_rays=64, num_samples=8, use_pallas=False,
+        donate_state=False, log_interval=5, val_interval=100,
+        save_interval=100, save_path=str(tmp_path / "m"),
+        log_dir=str(tmp_path / "l"),
+    )
+    scene = load_scene(cfg)
+    assert scene.far > 6.0 or scene.near < 2.0  # bounds differ from config
+    state = fit(cfg, max_steps=10, enable_tensorboard=False)
+    g = np.asarray(state.params["grid"][..., 0])
+    # training touched interior cells, not just the border (the old-frame
+    # failure mode puts all content in clamped border cells)
+    init_raw = float(np.log(np.expm1(0.1)))
+    touched = np.argwhere(np.abs(g - init_raw) > 1e-9)
+    assert touched.size, "no grid cell trained at all"
+    interior = ((touched > 0) & (touched < 7)).all(axis=1)
+    assert interior.any(), "only border cells trained — wrong domain frame"
+
+
 # ----------------------------------------------------- the end-to-end point
 
 

@@ -71,9 +71,8 @@ def test_resume_after_upsample(tmp_path):
     ckpt = str(tmp_path / "models" / "plenoxels_model_000008")
     assert read_metadata(ckpt)["grid_res"] == 6
 
-    # the CLI path: meta's grid_res overrides the config before the state
-    # is rebuilt (cli/train_cli.py), and already-applied entries drop out
-    cfg.grid_res = read_metadata(ckpt)["grid_res"]
+    # fit() itself applies meta's grid_res before rebuilding the state
+    # (cfg still says grid_res=4), and already-applied entries drop out
     state = fit(cfg, resume_path=ckpt, max_steps=14,
                 enable_tensorboard=False)
     assert state.params["grid"].shape[:3] == (6, 6, 6)

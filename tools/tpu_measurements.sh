@@ -4,6 +4,10 @@
 #   sh tools/tpu_measurements.sh [logfile]
 LOG=${1:-/tmp/tpu_measure.log}
 cd /root/repo || exit 1
+# poll_tpu.sh just confirmed the device answers; skip bench.py's
+# per-invocation subprocess probe (a redundant backend init each run)
+NERF_TPU_BENCH_SKIP_PROBE=1
+export NERF_TPU_BENCH_SKIP_PROBE
 
 run() {
   echo "=== $* ===" >> "$LOG"
