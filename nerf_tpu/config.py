@@ -99,6 +99,18 @@ class Config:
                                    # runs only; see train/distill.py)
     distill_steps: int = 0         # field-matching steps before fine-tuning
     distill_batch: int = 16384     # points per distillation step
+    occupancy_res: int = 0         # >0: occupancy-guided training (the
+                                   # Instant-NGP-style accelerator, TPU-
+                                   # shaped — ops/occupancy.py): bake a
+                                   # res^3 occupancy prior from the live
+                                   # field every occupancy_interval steps
+                                   # and draw the coarse samples from its
+                                   # inverse CDF. With the density-bias
+                                   # init the first bake is all-occupied
+                                   # (= uniform sampling) and tightens as
+                                   # the field carves free space.
+    occupancy_interval: int = 1000  # rebake cadence (steps)
+    occupancy_thresh: float = 1e-2  # sigma threshold for "occupied"
 
     # --- checkpointing ---
     save_path: str = "./models"

@@ -225,6 +225,7 @@ def render_rays_train(
     target: jax.Array,
     fine_params: Optional[dict] = None,
     viewdirs: Optional[jax.Array] = None,
+    occupancy=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Training loss via the single-kernel fused train pass(es).
 
@@ -241,15 +242,25 @@ def render_rays_train(
         viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
     k_coarse, k_fine = jax.random.split(key)
-    t = stratified_sample(
-        k_coarse,
-        settings.near,
-        settings.far,
-        settings.num_samples,
-        num_rays,
-        jitter_mode=settings.jitter_mode,
-        perturb=settings.perturb,
-    )
+    if occupancy is not None:
+        from nerf_tpu.ops.occupancy import occupancy_t
+
+        t = occupancy_t(
+            k_coarse, occupancy, rays_o, rays_d,
+            settings.near, settings.far, settings.num_samples,
+            normalize=settings.normalize_positions,
+            perturb=settings.perturb,
+        )
+    else:
+        t = stratified_sample(
+            k_coarse,
+            settings.near,
+            settings.far,
+            settings.num_samples,
+            num_rays,
+            jitter_mode=settings.jitter_mode,
+            perturb=settings.perturb,
+        )
     loss_c, aux_c = fused_render.train(
         params, rays_o, rays_d, viewdirs, t, target,
         settings.white_background,

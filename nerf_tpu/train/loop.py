@@ -310,6 +310,30 @@ def fit(
         else resolve_apply_fn(model, use_pallas=cfg.use_pallas)
     )
     regularizer = make_regularizer(cfg, model)
+
+    # Occupancy-guided training (cfg.occupancy_res): bake a {0,1} prior
+    # from the live field at intervals and hand it to the step as a TRACED
+    # array — rebakes never retrace. First bake happens before step 0 (the
+    # density-bias init makes it all-occupied = plain uniform sampling).
+    occ_opts = None
+    occ_grid = None
+    bake_occ = None
+    if cfg.occupancy_res > 0:
+        from nerf_tpu.models.registry import grid_domain
+        from nerf_tpu.ops.occupancy import bake_occupancy, sigma_field
+
+        occ_domain = grid_domain(cfg)
+        occ_opts = (occ_domain, 64, 1e-2)
+
+        def bake_occ(params):
+            return bake_occupancy(
+                sigma_field(apply_fn, params),
+                grid_res=cfg.occupancy_res, domain=occ_domain,
+                threshold=cfg.occupancy_thresh,
+            )
+
+        occ_grid = bake_occ(state.params)
+
     train_step = make_train_step(
         model,
         tx,
@@ -322,6 +346,7 @@ def fit(
         fused_render=fused_render,
         epoch_sampling=cfg.epoch_sampling,
         regularizer=regularizer,
+        occupancy_opts=occ_opts,
     )
 
     # Scan-chunked stepping: between host touchpoints (log/val/save), run N
@@ -359,6 +384,7 @@ def fit(
                 fused_render=fused_render,
                 epoch_sampling=cfg.epoch_sampling,
                 regularizer=regularizer,
+                occupancy_opts=occ_opts,
             )
         return _step_fns[c]
 
@@ -379,6 +405,8 @@ def fit(
             # chunks must END right before an upsample step so the host
             # can swap the grid between dispatches
             candidates.append(upsample_sched[0][0] - 1)
+        if bake_occ is not None:
+            candidates.append(next_mult(max(i, 1), cfg.occupancy_interval))
         return min(candidates)
     def build_eval_render():
         eval_apply_fn, eval_fused = apply_fn, fused_render
@@ -544,7 +572,7 @@ def fit(
                 profiling = cfg.profile_dir and chunk_idx == 2
                 if profiling:
                     jax.profiler.start_trace(cfg.profile_dir)
-                state, metrics = get_step_fn(c)(state, scene.pool)
+                state, metrics = get_step_fn(c)(state, scene.pool, occ_grid)
                 if profiling:
                     jax.block_until_ready(metrics["loss"])
                     jax.profiler.stop_trace()
@@ -562,6 +590,10 @@ def fit(
                     logger.log_scalar(
                         "rays_per_sec", throughput.rays_per_sec, step
                     )
+
+                if bake_occ is not None and step % cfg.occupancy_interval == 0:
+                    with throughput.exclude():
+                        occ_grid = bake_occ(state.params)
 
                 if step % cfg.save_interval == 0 and 0 < step < num_iters - 1:
                     with throughput.exclude():

@@ -153,13 +153,20 @@ def _make_step_body(
     fused_render=None,
     epoch_sampling: bool = False,
     regularizer: Optional[Callable] = None,
+    occupancy_opts: Optional[tuple] = None,
 ):
     """The un-jitted single-iteration body shared by the one-step and
     scanned trainers: sample batch -> render -> MSE -> grad -> optax update.
 
     ``regularizer(param_pair) -> scalar`` is added to the photometric loss
     (but not to the logged mse) — fit() wires the grid families' TV prior
-    through it."""
+    through it.
+
+    ``occupancy_opts = (domain, num_bins, floor)`` enables the optional
+    ``occ_grid`` step argument: fit() rebakes an occupancy prior from the
+    live field at intervals and passes it as a TRACED array (not a closure
+    constant, so a rebake never retraces), and the coarse pass draws its
+    samples from the prior's inverse CDF (ops/occupancy.py)."""
     # epoch-permutation sampling keys the per-epoch cipher off a stream
     # disjoint from the per-step render keys
     k_epoch = jax.random.fold_in(base_key, 0x7FFFFFFF)
@@ -167,7 +174,16 @@ def _make_step_body(
     # no forward recompute) when the kernel provides it.
     use_fused_train = fused_render is not None and hasattr(fused_render, "train")
 
-    def loss_fn(param_pair, batch: RayBatch, key: jax.Array):
+    def _occ(occ_grid):
+        if occ_grid is None:
+            return None
+        from nerf_tpu.ops.occupancy import OccupancyGrid
+
+        domain, num_bins, floor = occupancy_opts
+        return OccupancyGrid(grid=occ_grid, domain=domain,
+                             num_bins=num_bins, floor=floor)
+
+    def loss_fn(param_pair, batch: RayBatch, key: jax.Array, occ_grid):
         params, fine_params = param_pair
         if use_fused_train:
             from nerf_tpu.render.renderer import render_rays_train
@@ -182,6 +198,7 @@ def _make_step_body(
                 batch.rgb,
                 fine_params=fine_params if fine_params else None,
                 viewdirs=batch.viewdirs,
+                occupancy=_occ(occ_grid),
             )
             if regularizer is not None:
                 loss = loss + regularizer(param_pair)
@@ -196,6 +213,7 @@ def _make_step_body(
             fine_params=fine_params if fine_params else None,
             viewdirs=batch.viewdirs,
             fused_render=fused_render,
+            occupancy=_occ(occ_grid),
         )
         mse = jnp.mean((out.rgb - batch.rgb) ** 2)
         loss = mse
@@ -205,7 +223,7 @@ def _make_step_body(
             loss = loss + regularizer(param_pair)
         return loss, mse
 
-    def step(state: TrainState, pool: RayPool):
+    def step(state: TrainState, pool: RayPool, occ_grid=None):
         key = jax.random.fold_in(base_key, state.step)
         k_sample, k_render = jax.random.split(key)
 
@@ -219,7 +237,7 @@ def _make_step_body(
             )
 
         (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            (state.params, state.fine_params), batch, k_render
+            (state.params, state.fine_params), batch, k_render, occ_grid
         )
         updates, opt_state = tx.update(
             grads, state.opt_state, (state.params, state.fine_params)
@@ -256,8 +274,10 @@ def make_train_step(
     fused_render=None,
     epoch_sampling: bool = False,
     regularizer: Optional[Callable] = None,
+    occupancy_opts: Optional[tuple] = None,
 ):
-    """Returns ``step(state, pool) -> (state, metrics)`` (jitted).
+    """Returns ``step(state, pool[, occ_grid]) -> (state, metrics)``
+    (jitted).
 
     ``data_sharding`` optionally constrains the sampled ray batch onto the
     mesh's data axis; with replicated params XLA then emits the gradient
@@ -270,7 +290,7 @@ def make_train_step(
     step = _make_step_body(
         apply_fn, tx, settings, batch_size, base_key, data_sharding,
         fused_render=fused_render, epoch_sampling=epoch_sampling,
-        regularizer=regularizer,
+        regularizer=regularizer, occupancy_opts=occupancy_opts,
     )
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -289,8 +309,10 @@ def make_scan_train_step(
     fused_render=None,
     epoch_sampling: bool = False,
     regularizer: Optional[Callable] = None,
+    occupancy_opts: Optional[tuple] = None,
 ):
-    """Returns ``step_n(state, pool) -> (state, metrics)`` running
+    """Returns ``step_n(state, pool[, occ_grid]) -> (state, metrics)``
+    running
     ``num_steps`` training iterations inside ONE compiled program via
     ``lax.scan``; ``metrics`` leaves are stacked ``(num_steps,)`` arrays.
 
@@ -309,12 +331,14 @@ def make_scan_train_step(
     one_step = _make_step_body(
         apply_fn, tx, settings, batch_size, base_key, data_sharding,
         fused_render=fused_render, epoch_sampling=epoch_sampling,
-        regularizer=regularizer,
+        regularizer=regularizer, occupancy_opts=occupancy_opts,
     )
 
-    def step_n(state: TrainState, pool: RayPool):
+    def step_n(state: TrainState, pool: RayPool, occ_grid=None):
+        # occ_grid is constant across the chunk by design: fit() rebakes
+        # only at event boundaries
         def body(carry, _):
-            new_state, metrics = one_step(carry, pool)
+            new_state, metrics = one_step(carry, pool, occ_grid)
             return new_state, metrics
 
         return jax.lax.scan(body, state, None, length=num_steps)
