@@ -63,6 +63,12 @@ def main(argv=None) -> None:
              "trilinear gathers + a tiny contraction per sample, no network",
     )
     parser.add_argument(
+        "--metrics", action="store_true",
+        help="render the dataset's TEST split instead of the orbit and "
+             "report per-view + mean PSNR/SSIM (writes metrics.json and "
+             "pred_*.png to --output)",
+    )
+    parser.add_argument(
         "--occupancy", type=int, default=0, metavar="GRID_RES",
         help="bake a binary occupancy prior at this resolution and draw "
              "the coarse samples from its inverse CDF (TPU-shaped "
@@ -194,6 +200,61 @@ def main(argv=None) -> None:
 
     import imageio.v2 as imageio
     from tqdm import tqdm
+
+    if args.metrics:
+        # render the held-out TEST split with the dataset's own cameras and
+        # score against ground truth (the standard NeRF benchmark protocol;
+        # the reference's eval renders an orbit and reports nothing)
+        import json
+
+        from nerf_tpu.utils.metrics import mse_to_psnr, ssim
+
+        if cfg.dataset_type == "llff":
+            test_images = data["images"][data["i_test"]]
+            test_poses = data["poses"][data["i_test"]]
+        else:
+            test_images, test_poses, _ = load_blender(
+                cfg.dataset_path, mode="test",
+                white_background=cfg.white_background, half_res=cfg.half_res,
+            )
+        rows = []
+        for i in tqdm(range(test_images.shape[0]), desc="Scoring test views",
+                      unit="view"):
+            c2w = np.eye(4, dtype=np.float32)
+            c2w[: test_poses[i].shape[0]] = test_poses[i]
+            rays_o, rays_d = compute_rays_single(h, w, focal, c2w)
+            viewdirs = None
+            if ndc:
+                viewdirs = jnp.asarray(rays_d)
+                rays_o, rays_d = ndc_rays(
+                    h, w, focal, 1.0, jnp.asarray(rays_o), jnp.asarray(rays_d)
+                )
+            out = renderer(
+                render_params[0], render_params[1],
+                jnp.asarray(rays_o), jnp.asarray(rays_d),
+                jax.random.fold_in(key, i), viewdirs=viewdirs, hw=(h, w),
+            )
+            pred = np.clip(np.asarray(out.rgb).reshape(h, w, 3), 0.0, 1.0)
+            gt = np.asarray(test_images[i], np.float32)
+            mse = float(np.mean((pred - gt) ** 2))
+            rows.append({"view": i, "mse": mse,
+                         "psnr": float(mse_to_psnr(mse)),
+                         "ssim": ssim(pred, gt)})
+            imageio.imwrite(os.path.join(args.output, f"pred_{i:03d}.png"),
+                            (pred * 255).astype(np.uint8))
+        summary = {
+            "num_views": len(rows),
+            "mean_psnr": float(np.mean([r["psnr"] for r in rows])),
+            "mean_ssim": float(np.mean([r["ssim"] for r in rows])),
+            "views": rows,
+        }
+        with open(os.path.join(args.output, "metrics.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"Test split ({summary['num_views']} views): "
+              f"PSNR {summary['mean_psnr']:.2f}  "
+              f"SSIM {summary['mean_ssim']:.4f}")
+        print(f"Wrote {os.path.join(args.output, 'metrics.json')}")
+        return
 
     frames = []
     for i in tqdm(range(poses.shape[0]), desc="Rendering frames", unit="frame"):

@@ -78,6 +78,38 @@ def test_eval_cli_renders_frames(trained, tmp_path):
     assert img.dtype == np.uint8
 
 
+def test_eval_cli_metrics_mode(trained, tmp_path, capsys):
+    cfg_path, save = trained
+    out_dir = tmp_path / "metrics"
+    eval_main(
+        ["--config", cfg_path, "--checkpoint",
+         os.path.join(save, "nerf_model_000012"),
+         "--output", str(out_dir), "--metrics"]
+    )
+    import json
+
+    with open(out_dir / "metrics.json") as f:
+        m = json.load(f)
+    assert m["num_views"] == len(m["views"]) > 0
+    assert np.isfinite(m["mean_psnr"]) and 0.0 < m["mean_ssim"] <= 1.0
+    preds = [p for p in os.listdir(out_dir) if p.startswith("pred_")]
+    assert len(preds) == m["num_views"]
+    assert "PSNR" in capsys.readouterr().out
+
+
+def test_ssim_metric_properties():
+    from nerf_tpu.utils.metrics import ssim
+
+    rng = np.random.RandomState(0)
+    img = rng.uniform(size=(32, 32, 3)).astype(np.float32)
+    assert abs(ssim(img, img) - 1.0) < 1e-9
+    noisy = np.clip(img + 0.2 * rng.normal(size=img.shape), 0, 1)
+    worse = np.clip(img + 0.5 * rng.normal(size=img.shape), 0, 1)
+    s1, s2 = ssim(img, noisy), ssim(img, worse)
+    assert 0.0 < s2 < s1 < 1.0
+    assert abs(ssim(noisy, img) - s1) < 1e-9  # symmetric
+
+
 @pytest.fixture(scope="module")
 def trained_fastnerf(tmp_path_factory):
     root = tmp_path_factory.mktemp("fn_scene")
