@@ -40,13 +40,15 @@ def make_multiscene_train_step(
     data_axis: str = "data",
     use_pallas: bool = True,
     donate: bool = True,
+    regularizer=None,
 ):
     """Returns ``step(state, pools) -> (state, metrics)``.
 
     ``state`` holds scene-stacked params/opt_state (leading axis S);
     ``pools`` is a RayPool with leaves (S, M, 3). Metrics are per-scene
-    vectors of shape (S,).
-    """
+    vectors of shape (S,). ``regularizer(param_pair) -> scalar`` (e.g.
+    the grid families' TV prior, train/loop.py::make_regularizer) is
+    applied PER SCENE inside the vmap — gradients stay scene-local."""
     # The fused render/train kernels vmap over the scene axis (pallas_call
     # has a batching rule), so multi-scene gets the same single-kernel path.
     # KiloNeRF's grouped kernel is the exception: its scalar-prefetched
@@ -91,9 +93,16 @@ def make_multiscene_train_step(
             loss = loss + jnp.mean((out.rgb_coarse - batch.rgb) ** 2)
         return loss, mse
 
+    def scene_loss_reg(params, fine_params, pool, key):
+        loss, mse = scene_loss(params, fine_params, pool, key)
+        if regularizer is not None:
+            loss = loss + regularizer((params, fine_params))
+        return loss, mse
+
     def loss_fn(param_pair, pools, keys):
         params, fine_params = param_pair
-        losses, mses = jax.vmap(scene_loss)(params, fine_params, pools, keys)
+        losses, mses = jax.vmap(scene_loss_reg)(params, fine_params, pools,
+                                                keys)
         # Sum over scenes: gradients stay per-scene (no cross-terms).
         return jnp.sum(losses), (losses, mses)
 

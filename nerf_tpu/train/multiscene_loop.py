@@ -102,9 +102,12 @@ def fit_multiscene(
         opt_state=tx.init((params, fine_params)),
     )
 
+    from nerf_tpu.train.loop import make_regularizer
+
     step_fn = make_multiscene_train_step(
         model, tx, settings, cfg.num_random_rays, k_train, mesh,
         use_pallas=cfg.use_pallas, donate=cfg.donate_state,
+        regularizer=make_regularizer(cfg, model),
     )
 
     os.makedirs(cfg.save_path, exist_ok=True)
