@@ -242,6 +242,46 @@ def test_fused_train_path_matches_pure_loss(model_kind, fine):
         )
 
 
+def test_fused_train_with_occupancy_matches_pure_loss():
+    """Occupancy-guided coarse sampling composes with the fused train
+    kernel: both routes draw t from the same prior CDF, so loss and
+    gradients still match the render-then-MSE route exactly."""
+    from nerf_tpu.ops.occupancy import OccupancyGrid
+    from nerf_tpu.ops.pallas.fused_render import make_fused_nerf_render
+    from nerf_tpu.render.renderer import (
+        RenderSettings, render_rays, render_rays_train,
+    )
+
+    model, params, rays_o, rays_d, _ = _setup(num_samples=16)
+    fr = make_fused_nerf_render(model, NEAR, FAR, normalize=True,
+                                interpret=True)
+    settings = RenderSettings(near=NEAR, far=FAR, num_samples=16,
+                              white_background=True)
+    g = jnp.zeros((8, 8, 8, 1), jnp.float32).at[:, :, 2:6].set(1.0)
+    occ = OccupancyGrid(grid=g, domain=(-2.75, -1.25), num_bins=32)
+    key = jax.random.key(9)
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(rng.uniform(0, 1, (rays_o.shape[0], 3)), jnp.float32)
+
+    def loss_pure(p):
+        out = render_rays(model.apply, p, rays_o, rays_d, key, settings,
+                          fused_render=fr, occupancy=occ)
+        return jnp.mean((out.rgb - target) ** 2)
+
+    def loss_train(p):
+        return render_rays_train(fr, p, rays_o, rays_d, key, settings,
+                                 target, occupancy=occ)[0]
+
+    lp, gp = jax.value_and_grad(loss_pure)(params)
+    lt, gt = jax.value_and_grad(loss_train)(params)
+    np.testing.assert_allclose(float(lt), float(lp), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gt)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-10
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-4
+        )
+
+
 @pytest.mark.parametrize("num_samples", [8, 24, 33, 60])
 def test_fused_render_odd_sample_counts(num_samples):
     """Roll-scan cumprod, segment masks and tile picking must handle
