@@ -31,10 +31,22 @@ run "NERF_TPU_BENCH_ITERS=5 NERF_TPU_BENCH_MODE=render NERF_TPU_BENCH_MODEL=plen
 # ...and pure gathers (the ~13k baseline, same harness)
 run "NERF_TPU_BENCH_ITERS=3 NERF_TPU_BENCH_MODE=render NERF_TPU_BENCH_MODEL=plenoxels NERF_TPU_NO_GRID_KERNEL=1 python bench.py"
 
+# 3b. fused grid render tile sweep (defaults: TILE_RAYS=64 SEG=8 SPS=2)
+for tr in 32 64 128; do
+  run "NERF_TPU_BENCH_ITERS=3 NERF_TPU_BENCH_MODE=render NERF_TPU_BENCH_MODEL=plenoxels NERF_TPU_GRID_TILE_RAYS=$tr python bench.py"
+done
+for sps in 1 2 4; do
+  run "NERF_TPU_BENCH_ITERS=3 NERF_TPU_BENCH_MODE=render NERF_TPU_BENCH_MODEL=plenoxels NERF_TPU_GRID_SPS=$sps python bench.py"
+done
+
 # 4. grid kernel microbench (tile/dtype sweep inside the tool)
 run "python tools/bench_grid_kernel.py"
 
 # 5. kilonerf train bench: multi-expert step (was 28.6k single-expert)
 run "NERF_TPU_BENCH_ITERS=10 NERF_TPU_BENCH_MODEL=kilonerf python bench.py"
+
+# 6. MLP flagship render at a REDUCED sample budget (the shape occupancy-
+#    guided sampling enables at equal quality; same harness, 16+32 samples)
+run "NERF_TPU_BENCH_ITERS=5 NERF_TPU_BENCH_MODE=render NERF_TPU_BENCH_SAMPLES=16 NERF_TPU_BENCH_FINE=32 python bench.py"
 
 echo "measurement sweep done $(date -u)" >> "$LOG"
