@@ -25,7 +25,6 @@ from nerf_tpu.data.poses import spherical_orbit
 from nerf_tpu.data.rays import compute_rays_single
 from nerf_tpu.train.loop import render_settings_from_config
 from nerf_tpu.train.state import create_train_state
-from nerf_tpu.train.step import make_eval_render
 from nerf_tpu.utils.checkpoint import load_checkpoint, read_metadata
 
 
@@ -130,72 +129,17 @@ def main(argv=None) -> None:
     state = load_checkpoint(args.checkpoint, state)
 
     settings = render_settings_from_config(cfg, ndc=ndc)
-    occ = None
-    if args.occupancy:
-        from nerf_tpu.models.registry import grid_domain
-        from nerf_tpu.ops.occupancy import (
-            OccupancyGrid,
-            bake_occupancy,
-            sigma_field,
-        )
-        from nerf_tpu.train.step import resolve_apply_fn
+    # occupancy prior + baked caches + eval renderer: one factory shared
+    # with the serving surface (nerf_tpu/serve.py)
+    from nerf_tpu.serve import build_renderer
 
-        print(f"Baking a {args.occupancy}^3 occupancy prior...")
-        occ_params = (
-            state.fine_params
-            if cfg.num_fine_samples > 0 and state.fine_params
-            else state.params
+    try:
+        renderer, render_params = build_renderer(
+            model, state, cfg, settings, mesh=_eval_mesh(),
+            bake=args.bake, occupancy=args.occupancy,
         )
-        dom = grid_domain(cfg)
-        occ = OccupancyGrid(
-            grid=bake_occupancy(
-                sigma_field(
-                    resolve_apply_fn(model, use_pallas=cfg.use_pallas),
-                    occ_params,
-                ),
-                grid_res=args.occupancy, domain=dom,
-            ),
-            domain=dom,
-        )
-    if args.bake:
-        if not hasattr(model, "bake"):
-            raise SystemExit(
-                f"--bake: model '{cfg.model_type}' has no baked cache "
-                "(fastnerf and plenoctree bake)"
-            )
-        print(f"Baking {cfg.model_type} field into a {args.bake}^3 cache...")
-        # hierarchical checkpoints carry the final image quality in the FINE
-        # network — bake that one (both passes then sample the same baked
-        # field; importance sampling still concentrates the fine t's)
-        bake_params = (
-            state.fine_params
-            if cfg.num_fine_samples > 0 and state.fine_params
-            else state.params
-        )
-        baked = model.bake(bake_params, grid_res=args.bake)
-        from nerf_tpu.train.step import resolve_fused_render
-
-        if hasattr(baked, "apply"):   # fastnerf -> BakedFastNeRF
-            baked_model, render_params = baked, (None, {})
-            apply_fn = baked.apply
-        else:                         # plenoctree -> (PlenoxelsModel, params)
-            baked_model, baked_params = baked
-            # pack the grid for the coherent kernels ONCE at bake time
-            baked_params = baked_model.precompute(baked_params)
-            render_params = (baked_params, {})
-            apply_fn = lambda _p, pts, d: baked_model.apply(baked_params, pts, d)
-        # the eval-only fused grid render serves both cache types (interp
-        # + decode + compositing in one kernel); falls back to apply_fn
-        fused = resolve_fused_render(baked_model, settings,
-                                     use_pallas=cfg.use_pallas,
-                                     for_train=False)
-        renderer = make_eval_render(baked_model, settings, apply_fn=apply_fn,
-                                    fused_render=fused, mesh=_eval_mesh(),
-                                    occupancy=occ)
-    else:
-        render_params = (state.params, state.fine_params)
-        renderer = make_eval_render(model, settings, use_pallas=cfg.use_pallas,
-                                    mesh=_eval_mesh(), occupancy=occ)
+    except ValueError as e:
+        raise SystemExit(f"--{e}")
     key = jax.random.key(cfg.seed)
 
     import imageio.v2 as imageio
