@@ -148,7 +148,11 @@ class RenderService:
         from nerf_tpu.train.state import create_train_state
         from nerf_tpu.utils.checkpoint import load_checkpoint, read_metadata
 
-        cfg = (config if isinstance(config, Config)
+        import dataclasses
+
+        # never mutate a caller-owned Config (checkpoint meta and dataset
+        # bounds override fields below)
+        cfg = (dataclasses.replace(config) if isinstance(config, Config)
                else parse_config_file(config))
         meta = read_metadata(checkpoint)
         cfg.model_type = meta.get("model_type", cfg.model_type).lower()
