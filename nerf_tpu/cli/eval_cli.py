@@ -139,7 +139,9 @@ def main(argv=None) -> None:
             bake=args.bake, occupancy=args.occupancy,
         )
     except ValueError as e:
-        raise SystemExit(f"--{e}")
+        if not str(e).startswith("bake:"):
+            raise  # real errors keep their traceback
+        raise SystemExit(f"--{e}")  # the no-baked-cache usage error
     key = jax.random.key(cfg.seed)
 
     import imageio.v2 as imageio

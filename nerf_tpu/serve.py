@@ -119,7 +119,8 @@ class RenderService:
     >>> img = svc.render_pose(c2w)           # (H, W, 3) float32 in [0, 1]
     """
 
-    def __init__(self, cfg, model, renderer, render_params, hw, focal, ndc):
+    def __init__(self, cfg, model, renderer, render_params, hw, focal, ndc,
+                 render_poses=None):
         import jax
 
         self.cfg = cfg
@@ -129,6 +130,9 @@ class RenderService:
         self.hw = hw
         self.focal = float(focal)
         self.ndc = ndc
+        # LLFF: forward-facing spiral poses from the loader (a Blender-
+        # style radius-4 orbit would look away from the pose cluster)
+        self._render_poses = render_poses
         self._key = jax.random.key(cfg.seed)
         self._lock = threading.Lock()  # one device program at a time
 
@@ -159,6 +163,7 @@ class RenderService:
         if "grid_res" in meta:
             cfg.grid_res = int(meta["grid_res"])
 
+        render_poses = None
         if cfg.dataset_type == "llff":
             from nerf_tpu.data.llff import load_llff
 
@@ -166,6 +171,7 @@ class RenderService:
             h, w = data["hw"]
             focal = data["focal"]
             ndc = cfg.ndc
+            render_poses = np.asarray(data["render_poses"])
             cfg.near, cfg.far = ((0.0, 1.0) if ndc else
                                  (float(data["near_world"]),
                                   float(data["far_world"])))
@@ -189,7 +195,7 @@ class RenderService:
             log=log,
         )
         return cls(cfg, model, renderer, render_params, (int(h), int(w)),
-                   focal, ndc)
+                   focal, ndc, render_poses=render_poses)
 
     def render_pose(self, c2w, key_idx: int = 0) -> np.ndarray:
         """Render one camera pose (c2w: (3|4, 4) world-from-camera) ->
@@ -222,6 +228,8 @@ class RenderService:
         return np.clip(np.asarray(out.rgb).reshape(h, w, 3), 0.0, 1.0)
 
     def orbit_pose(self, idx: int) -> np.ndarray:
+        if self._render_poses is not None:
+            return self._render_poses[idx % len(self._render_poses)]
         from nerf_tpu.data.poses import spherical_orbit
 
         poses = spherical_orbit(self.cfg.num_render_poses)
@@ -236,22 +244,27 @@ def _png_bytes(img01: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
-def serve_http(service: RenderService, port: int = 8000, host: str = "",
-               log=print):
+def serve_http(service: RenderService, port: int = 8000,
+               host: str = "127.0.0.1", log=print):
     """Blocking threaded HTTP server over a RenderService (see module
-    docstring for routes). Returns only on KeyboardInterrupt."""
+    docstring for routes). Returns only on KeyboardInterrupt. Binds
+    loopback by default — the endpoint is unauthenticated; widen with
+    ``host="0.0.0.0"`` deliberately."""
     server = make_http_server(service, port, host)
-    log(f"Serving {service.cfg.model_type} renders on port "
-        f"{server.server_address[1]} (/health, /pose/<i>, /render?m=...)")
+    log(f"Serving {service.cfg.model_type} renders on "
+        f"{host or '0.0.0.0'}:{server.server_address[1]} "
+        "(/health, /pose/<i>, /render?m=...)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         server.shutdown()
+        server.server_close()
 
 
-def make_http_server(service: RenderService, port: int = 0, host: str = ""):
+def make_http_server(service: RenderService, port: int = 0,
+                     host: str = "127.0.0.1"):
     """Construct (without starting) the HTTP server — tests drive it via
     ``threading.Thread(target=server.serve_forever)``."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -269,6 +282,9 @@ def make_http_server(service: RenderService, port: int = 0, host: str = ""):
             self.wfile.write(body)
 
         def do_GET(self):
+            # request parsing -> 400; render/encode failures -> 500 (a
+            # device error is not the client's fault and must page, not
+            # be retried-away as a bad request)
             try:
                 url = urlparse(self.path)
                 if url.path == "/health":
@@ -281,21 +297,27 @@ def make_http_server(service: RenderService, port: int = 0, host: str = ""):
                     return self._send(200, body, "application/json")
                 if url.path.startswith("/pose/"):
                     idx = int(url.path.split("/")[-1])
-                    img = service.render_pose(service.orbit_pose(idx),
-                                              key_idx=idx)
-                    return self._send(200, _png_bytes(img), "image/png")
-                if url.path == "/render":
+                    c2w, key_idx = service.orbit_pose(idx), idx
+                elif url.path == "/render":
                     q = parse_qs(url.query)
                     vals = [float(x) for x in q["m"][0].split(",")]
                     if len(vals) not in (12, 16):
                         raise ValueError("m wants 12 or 16 floats")
-                    c2w = np.asarray(vals, np.float32).reshape(-1, 4)
-                    img = service.render_pose(c2w)
-                    return self._send(200, _png_bytes(img), "image/png")
-                return self._send(404, b"not found", "text/plain")
-            except Exception as e:  # noqa: BLE001 — serve errors as 400s
+                    c2w, key_idx = (
+                        np.asarray(vals, np.float32).reshape(-1, 4), 0)
+                else:
+                    return self._send(404, b"not found", "text/plain")
+            except Exception as e:  # noqa: BLE001 — malformed request
                 return self._send(
                     400, f"{type(e).__name__}: {e}".encode(), "text/plain")
+            try:
+                img = service.render_pose(c2w, key_idx=key_idx)
+                return self._send(200, _png_bytes(img), "image/png")
+            except Exception:  # noqa: BLE001 — server-side failure
+                import traceback
+
+                traceback.print_exc()
+                return self._send(500, b"render failed", "text/plain")
 
     return ThreadingHTTPServer((host, port), Handler)
 
@@ -309,6 +331,9 @@ def main(argv=None) -> None:
     parser.add_argument("--config", required=True)
     parser.add_argument("--checkpoint", required=True)
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--host", default="127.0.0.1",
+                        help="bind address (default loopback; the endpoint "
+                             "is unauthenticated — widen deliberately)")
     parser.add_argument("--bake", type=int, default=0)
     parser.add_argument("--occupancy", type=int, default=0)
     parser.add_argument("--hw", type=int, nargs=2, default=None)
@@ -323,7 +348,7 @@ def main(argv=None) -> None:
     )
     # compile before accepting traffic
     svc.render_pose(svc.orbit_pose(0))
-    serve_http(svc, port=args.port)
+    serve_http(svc, port=args.port, host=args.host)
 
 
 if __name__ == "__main__":

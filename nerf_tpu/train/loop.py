@@ -591,7 +591,8 @@ def fit(
                         "rays_per_sec", throughput.rays_per_sec, step
                     )
 
-                if bake_occ is not None and step % cfg.occupancy_interval == 0:
+                if (bake_occ is not None and step > 0
+                        and step % cfg.occupancy_interval == 0):
                     with throughput.exclude():
                         occ_grid = bake_occ(state.params)
 

@@ -17,9 +17,11 @@ maps mirror the reference modules exactly:
                             feature_remap.0, rgb_head.0.layer, rgb_head.1
                             -> base/sigma/remap/rgb0/rgb1
 
-Optimizer/scheduler state is NOT ported: resuming an imported checkpoint
-fine-tunes with fresh Adam moments (the LR schedule position, which IS
-meaningful, comes from the imported ``step``).
+Optimizer MOMENTS are not ported (fresh Adam), but the imported ``step``
+is written into the TrainState and the optimizer's count leaves, so a
+``--resume`` fine-tune continues the LR schedule (and the step-keyed PRNG
+stream) from where the torch run left off instead of re-applying the
+step-0 learning rate to converged weights.
 """
 
 from __future__ import annotations
@@ -103,6 +105,16 @@ def import_torch_checkpoint(pth_path: str, cfg, save_path: str) -> str:
     if state.fine_params:
         # the reference has no hierarchical fine network; start the fine
         # pass from the imported coarse weights (better than random)
-        state = state._replace(
-            fine_params=jax.tree.map(lambda a: a, params))
+        state = state._replace(fine_params=params)
+    # continue the run where torch left it: step drives the PRNG/epoch
+    # stream, and Adam's 0-d int32 count leaves drive the LR schedule
+    state = state._replace(
+        step=jnp.asarray(step, jnp.int32),
+        opt_state=jax.tree.map(
+            lambda x: (jnp.full_like(x, step)
+                       if (hasattr(x, "dtype") and x.dtype == jnp.int32
+                           and x.ndim == 0) else x),
+            state.opt_state,
+        ),
+    )
     return save_checkpoint(state, save_path, model_type, step)

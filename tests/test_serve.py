@@ -46,13 +46,16 @@ def test_render_pose_shape_and_range(service):
     assert not np.array_equal(img, img2)
 
 
-def test_custom_resolution(tmp_path_factory, service):
-    # hw override recompiles at the requested shape with scaled focal
-    svc = RenderService(service.cfg, service.model, service._renderer,
-                        service._params, service.hw, service.focal,
-                        service.ndc)
-    img = svc.render_pose(np.eye(4)[:3])
-    assert img.shape == (16, 16, 3)
+def test_custom_resolution(service, tmp_path_factory):
+    """The hw override re-derives focal (same field of view) and renders
+    at the requested shape."""
+    save = service.cfg.save_path
+    svc = RenderService.from_checkpoint(
+        service.cfg, os.path.join(save, "nerf_model_000005"), hw=(8, 8))
+    assert svc.hw == (8, 8)
+    np.testing.assert_allclose(svc.focal, service.focal * 8 / 16, rtol=1e-6)
+    img = svc.render_pose(svc.orbit_pose(0))
+    assert img.shape == (8, 8, 3)
 
 
 def test_http_endpoints(service):
@@ -84,3 +87,4 @@ def test_http_endpoints(service):
             assert json.loads(r.read())["status"] == "ok"
     finally:
         server.shutdown()
+        server.server_close()

@@ -104,6 +104,19 @@ def test_end_to_end_pth_to_eval(tmp_path):
     out_ckpt = import_torch_checkpoint(str(pth), cfg, str(tmp_path / "m"))
     assert out_ckpt.endswith("nerf_model_000007")
 
+    # the imported run CONTINUES at step 7: TrainState.step and the
+    # optimizer's count leaves carry it, so --resume fine-tunes at the
+    # decayed LR instead of re-applying lr(0) to converged weights
+    from nerf_tpu.train.state import create_train_state
+    from nerf_tpu.utils.checkpoint import load_checkpoint
+
+    _, _, fresh = create_train_state(cfg, jax.random.key(0))
+    restored = load_checkpoint(out_ckpt, fresh)
+    assert int(restored.step) == 7
+    counts = [int(x) for x in jax.tree.leaves(restored.opt_state)
+              if hasattr(x, "dtype") and x.dtype == np.int32 and x.ndim == 0]
+    assert counts and all(c == 7 for c in counts), counts
+
     # shape mismatch is a clear error, not a silent mis-load
     bad = Config(model_type="nerf", hidden_dim=64, pos_encoding_dim=2,
                  dir_encoding_dim=1)
