@@ -45,6 +45,9 @@ run "python tools/bench_grid_kernel.py"
 # 5. kilonerf train bench: multi-expert step (was 28.6k single-expert)
 run "NERF_TPU_BENCH_ITERS=10 NERF_TPU_BENCH_MODEL=kilonerf python bench.py"
 
+# 5b. plenoxels TRAIN step (gather+scatter bound; no recorded baseline)
+run "NERF_TPU_BENCH_ITERS=10 NERF_TPU_BENCH_MODEL=plenoxels NERF_TPU_BENCH_SAMPLES=64 python bench.py"
+
 # 6. MLP flagship render at a REDUCED sample budget (the shape occupancy-
 #    guided sampling enables at equal quality; same harness, 16+32 samples)
 run "NERF_TPU_BENCH_ITERS=5 NERF_TPU_BENCH_MODE=render NERF_TPU_BENCH_SAMPLES=16 NERF_TPU_BENCH_FINE=32 python bench.py"
