@@ -228,6 +228,14 @@ def _guard_backend() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Shrink the workload so the fallback finishes in ~1 min instead of
+    # ~20 (the numbers are non-comparable either way; the JSON line and
+    # its "platform": "cpu" field are the point). Explicit env wins.
+    os.environ.setdefault("NERF_TPU_BENCH_ITERS", "2")
+    os.environ.setdefault("NERF_TPU_BENCH_SCAN", "4")
+    os.environ.setdefault("NERF_TPU_BENCH_HW", "64")
+    os.environ.setdefault("NERF_TPU_BENCH_SAMPLES", "16")
+    os.environ.setdefault("NERF_TPU_BENCH_FINE", "0")
 
 
 def main() -> None:
