@@ -361,10 +361,12 @@ def make_eval_render(
     ``settings.chunk_size`` via lax.map tiling.
 
     When ``hw=(h, w)`` is passed and the model is a grid family, rays are
-    reordered into spatial pixel blocks (host-side) before rendering and
-    the outputs restored to scanline order after — the coherence the
-    fused grid kernel needs. Outputs come back as NumPy arrays in that
-    mode (they round-trip through the host anyway).
+    reordered into spatial pixel blocks before rendering and the outputs
+    restored to scanline order after — the coherence the fused grid
+    kernel needs. Both permutations are device-side gathers (the index
+    arrays are cached on device per ``hw``): on a tunneled TPU a
+    host-side round-trip of the inputs+outputs (~18 MB/frame at 400^2)
+    used to cost multiples of the render itself.
 
     When ``mesh`` (a multi-device, single-process jax.sharding.Mesh) is
     given, the render is shard_map'd over the mesh's ``data`` axis: rays
@@ -459,11 +461,12 @@ def make_eval_render(
                 from nerf_tpu.ops.pallas.fused_grid import tile_ray_order
 
                 p = tile_ray_order(hw[0], hw[1])
-                perm_cache[hw] = (p, np.argsort(p))
+                perm_cache[hw] = (jnp.asarray(p),
+                                  jnp.asarray(np.argsort(p)))
             perm, inv = perm_cache[hw]
-            rays_o = jnp.asarray(np.asarray(rays_o)[perm])
-            rays_d = jnp.asarray(np.asarray(rays_d)[perm])
-            viewdirs = jnp.asarray(np.asarray(viewdirs)[perm])
+            rays_o = jnp.take(jnp.asarray(rays_o), perm, axis=0)
+            rays_d = jnp.take(jnp.asarray(rays_d), perm, axis=0)
+            viewdirs = jnp.take(jnp.asarray(viewdirs), perm, axis=0)
         if use_mesh:
             # params restored from a checkpoint (or trained single-device)
             # arrive committed to one device — incompatible with the
@@ -488,7 +491,7 @@ def make_eval_render(
         if pad:
             out = type(out)(*(x[:num_rays] for x in out))
         if perm is not None:
-            out = type(out)(*(np.asarray(x)[inv] for x in out))
+            out = type(out)(*(jnp.take(x, inv, axis=0) for x in out))
         return out
 
     return render
