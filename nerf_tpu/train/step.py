@@ -471,13 +471,20 @@ def make_eval_render(
             # params restored from a checkpoint (or trained single-device)
             # arrive committed to one device — incompatible with the
             # mesh-spanning shard_map; re-place replicated (no-op when
-            # already mesh-placed, e.g. from fit())
+            # already mesh-placed, e.g. from fit()). Rays get the same
+            # treatment: a caller may pass arrays committed to a single
+            # device (e.g. sliced from a device-resident pool), which the
+            # mesh jit would otherwise reject with a device-assignment
+            # error.
             from jax.sharding import NamedSharding, PartitionSpec
 
             rep = NamedSharding(mesh, PartitionSpec())
             params = jax.device_put(params, rep)
             if fine_params:
                 fine_params = jax.device_put(fine_params, rep)
+            rays_o = jax.device_put(jnp.asarray(rays_o), rep)
+            rays_d = jax.device_put(jnp.asarray(rays_d), rep)
+            viewdirs = jax.device_put(jnp.asarray(viewdirs), rep)
         num_rays = rays_o.shape[0]
         pad = (-num_rays) % align if align else 0
         if pad:

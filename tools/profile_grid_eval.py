@@ -79,6 +79,8 @@ if trace_dir:
     jax.profiler.stop_trace()
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                              recursive=True), key=os.path.getmtime)
+    if not paths:
+        sys.exit(f"no *.trace.json.gz files under {trace_dir}")
     with gzip.open(paths[-1], "rt") as f:
         trace = json.load(f)
     agg = defaultdict(float)
@@ -87,6 +89,9 @@ if trace_dir:
             agg[ev.get("name", "?")] += ev["dur"]
     top = sorted(agg.items(), key=lambda kv: -kv[1])[:30]
     total = sum(agg.values())
-    print(f"-- top ops (us, one frame; total {total:.0f}) --")
+    # 'X' (complete) events nest — parents include children — and host
+    # threads are mixed in, so these are approximate INCLUSIVE durations,
+    # useful for ranking, not an exact per-frame device total.
+    print(f"-- top ops (approx inclusive us, one frame; sum {total:.0f}) --")
     for name, us in top:
         print(f"{us:10.0f}  {name[:110]}")
