@@ -22,6 +22,8 @@ def main(argv=None) -> None:
                         help="Shared config (schedule/model)")
     parser.add_argument("--scenes", type=str, nargs="+", required=True,
                         help="Dataset paths, one per scene")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Stacked multi-scene checkpoint to resume from")
     parser.add_argument("--max-steps", type=int, default=None)
     args = parser.parse_args(argv)
 
@@ -29,7 +31,8 @@ def main(argv=None) -> None:
 
     apply_platform_env()
     cfg = parse_config_file(args.config)
-    fit_multiscene(cfg, args.scenes, max_steps=args.max_steps)
+    fit_multiscene(cfg, args.scenes, resume_path=args.resume,
+                   max_steps=args.max_steps)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,7 @@ def make_multiscene_train_step(
     use_pallas: bool = True,
     donate: bool = True,
     regularizer=None,
+    num_steps: int = 1,
 ):
     """Returns ``step(state, pools) -> (state, metrics)``.
 
@@ -48,7 +49,13 @@ def make_multiscene_train_step(
     ``pools`` is a RayPool with leaves (S, M, 3). Metrics are per-scene
     vectors of shape (S,). ``regularizer(param_pair) -> scalar`` (e.g.
     the grid families' TV prior, train/loop.py::make_regularizer) is
-    applied PER SCENE inside the vmap — gradients stay scene-local."""
+    applied PER SCENE inside the vmap — gradients stay scene-local.
+
+    ``num_steps > 1`` runs that many iterations inside ONE compiled
+    dispatch via ``lax.scan`` (metrics leaves become ``(num_steps, S)``).
+    Randomness keys off ``state.step``, so a scan of N steps is
+    bit-identical to N single-step calls — the same dispatch-amortization
+    contract as ``train.step.make_scan_train_step``."""
     # The fused render/train kernels vmap over the scene axis (pallas_call
     # has a batching rule), so multi-scene gets the same single-kernel path.
     # KiloNeRF's grouped kernel is the exception: its scalar-prefetched
@@ -130,10 +137,26 @@ def make_multiscene_train_step(
             fine_params=fine_params,
             opt_state=opt_state,
         )
-        return new_state, {
+        # metrics replicate so the host can fetch them under multihost
+        # (the (S,) vectors otherwise inherit the scene sharding and span
+        # non-addressable devices); S scalars of all-gather is free
+        rep = NamedSharding(mesh, P())
+        metrics = {
             "loss": losses,
             "mse": mses,
             "psnr": -10.0 * jnp.log10(mses),
         }
+        metrics = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, rep), metrics
+        )
+        return new_state, metrics
 
+    if num_steps > 1:
+        def step_n(state: TrainState, pools: RayPool):
+            def body(carry, _):
+                return step(carry, pools)
+
+            return jax.lax.scan(body, state, None, length=num_steps)
+
+        return jax.jit(step_n, donate_argnums=(0,) if donate else ())
     return jax.jit(step, donate_argnums=(0,) if donate else ())

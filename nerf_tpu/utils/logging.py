@@ -77,6 +77,13 @@ class MetricLogger:
         if self.writer is not None:
             self.writer.add_scalar(tag, float(value), step)
 
+    def log_image(self, tag: str, image: np.ndarray, step: int) -> None:
+        """TB image under an arbitrary tag (e.g. per-scene validation
+        renders); same clip/CHW convention as ``log_validation``."""
+        if self.writer is not None:
+            img = np.clip(image, 0.0, 1.0).transpose(2, 0, 1)
+            self.writer.add_image(tag, img, step)
+
     def _write(self, msg: str) -> None:
         if self.quiet:
             return
