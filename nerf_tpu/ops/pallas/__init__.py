@@ -126,5 +126,10 @@ def get_fused_render(model, settings):
         return make_fused_grid_render(
             model, settings.near, settings.far,
             normalize=settings.normalize_positions,
+            # sizes the kernel's depth steps to the worst-case sample
+            # spacing (the coarse stratified spacing — both hierarchical
+            # passes contain it); the fixed default fit ~0% of real
+            # render chunks and silently gathered everything
+            num_coarse=settings.num_samples,
         )
     return None

@@ -217,6 +217,35 @@ def _step_major(a, t_tiles, tr, g_segs, s_seg):
     return a.reshape(t_tiles, tr, g_segs, s_seg).transpose(0, 2, 1, 3)
 
 
+def auto_seg_samples(grid_res: int, domain_ext: float, near: float,
+                     far: float, num_coarse: int, normalize: bool = True,
+                     cap: int = 8) -> int:
+    """Largest power-of-2 samples-per-step whose WORST-CASE depth extent
+    fits the 16-cell brick window.
+
+    The fit bit is a global AND over every (ray-tile x depth-segment) step
+    of a chunk, so the step size must be sized for the widest sample
+    spacing the chunk can contain — which for BOTH hierarchical passes is
+    the coarse stratified spacing, ``(far-near)/num_coarse`` (a merged
+    coarse+fine t keeps adjacent coarse samples wherever the fine samples
+    concentrated elsewhere). Measured at the 400x400 / 128^3 bench
+    geometry: the old fixed s_seg=8 fit 10% of coarse-pass steps (0/20
+    chunks -> every chunk silently gathered); the auto choice (2 there)
+    fits 20/20 chunks for both passes. Budget: the window serves 15 cells
+    per axis; ~7 are reserved for the ray tile's lateral extent +
+    diagonal travel, leaving ~8 for depth."""
+    if normalize:
+        cells_per_sample = 2.0 * (grid_res - 1) / (domain_ext * num_coarse)
+    else:
+        cells_per_sample = ((grid_res - 1) * (far - near)
+                            / (domain_ext * num_coarse))
+    budget = 8.0
+    s = 1
+    while s * 2 <= cap and cells_per_sample * (s * 2) <= budget:
+        s *= 2
+    return s
+
+
 def _run_kernel(packed, bases, blks, gx, gy, gz, *, tb, sps, nsteps, cdt,
                 prec, interpret):
     ex, ey = _expand_consts()

@@ -232,7 +232,7 @@ class FusedGridRender:
                  near: float, far: float, normalize: bool,
                  softplus_sigma: bool, interp_dtype: str = "bfloat16",
                  tile_rays: int = 64, seg_samples: int = 8, sps: int = 2,
-                 domain: tuple = (-1.0, 1.0),
+                 domain: tuple = (-1.0, 1.0), num_coarse: int = 0,
                  interpret: bool = False, force: bool = False):
         self.grid_fn = grid_fn
         self.basis_fn = basis_fn
@@ -246,7 +246,19 @@ class FusedGridRender:
         else:
             self.cdt, self.prec = jnp.bfloat16, jax.lax.Precision.DEFAULT
         self.tr = int(os.environ.get("NERF_TPU_GRID_TILE_RAYS", tile_rays))
-        self.s_seg = int(os.environ.get("NERF_TPU_GRID_SEG", seg_samples))
+        if "NERF_TPU_GRID_SEG" in os.environ:  # sweep override: exact value
+            self.s_seg = int(os.environ["NERF_TPU_GRID_SEG"])
+        elif num_coarse > 0:
+            # size steps so the WORST-CASE spacing (the coarse stratified
+            # spacing — merged hierarchical t inherits it) fits the window;
+            # the old fixed 8 silently gathered every real render chunk
+            from nerf_tpu.ops.pallas.fused_grid import auto_seg_samples
+
+            self.s_seg = min(seg_samples, auto_seg_samples(
+                grid_res, float(domain[1]) - float(domain[0]), near, far,
+                num_coarse, normalize=normalize, cap=seg_samples))
+        else:
+            self.s_seg = int(seg_samples)
         self.sps = int(os.environ.get("NERF_TPU_GRID_SPS", sps))
         self.interpret = interpret
         self.force = force
@@ -396,6 +408,7 @@ def _expand_basis(x: jnp.ndarray, repeat_block: bool) -> jnp.ndarray:
 
 
 def make_fused_grid_render(model, near, far, normalize=True,
+                           num_coarse: int = 0,
                            interpret: bool = False, force: bool = False):
     """FusedGridRender for SH voxel grids (PlenoxelsModel — also the baked
     PlenOctree cache) and baked FastNeRF caches; None when the model's
@@ -415,7 +428,7 @@ def make_fused_grid_render(model, near, far, normalize=True,
             grid_res=model.grid_res, channels=model.channels,
             near=near, far=far, normalize=normalize,
             softplus_sigma=True, interp_dtype=model.interp_dtype,
-            domain=model.domain,
+            domain=model.domain, num_coarse=num_coarse,
             interpret=interpret, force=force,
         )
         return fr if (model.use_grid_kernel and fr.supported()) else None
@@ -440,7 +453,7 @@ def make_fused_grid_render(model, near, far, normalize=True,
             channels=model.pos_grid.shape[-1],
             near=near, far=far, normalize=normalize,
             softplus_sigma=False,  # baked FastNeRF uses relu density
-            domain=model.domain,
+            domain=model.domain, num_coarse=num_coarse,
             interpret=interpret, force=force,
         )
         return fr if (model.use_grid_kernel and fr.supported()) else None

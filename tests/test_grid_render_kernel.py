@@ -228,3 +228,82 @@ def test_unsupported_shapes_return_none():
     assert make_fused_grid_render(
         PlenoxelsModel(grid_res=16, use_grid_kernel=False),
         NEAR, FAR, force=True) is None
+
+
+def test_auto_seg_samples_rule():
+    """Step sizing keys on the WORST-CASE (coarse) sample spacing: the old
+    fixed s_seg=8 fit ~10% of coarse-pass steps at the 400x400 / 128^3
+    bench geometry (0/20 chunks -> everything silently gathered)."""
+    from nerf_tpu.ops.pallas.fused_grid import auto_seg_samples
+
+    # bench geometry: r=128, domain ext 1.5, coarse 64 -> 2.65 cells/sample
+    assert auto_seg_samples(128, 1.5, 2.0, 6.0, 64) == 2
+    # finer sampling affords longer steps
+    assert auto_seg_samples(128, 1.5, 2.0, 6.0, 256) == 8
+    # upsampled grid needs shorter steps
+    assert auto_seg_samples(256, 1.5, 2.0, 6.0, 64) == 1
+    # small grids: whole-window steps
+    assert auto_seg_samples(16, 2.0, 2.0, 6.0, 64) == 8
+
+
+def test_num_coarse_sizes_kernel_steps():
+    fr = make_fused_grid_render(
+        PlenoxelsModel(grid_res=128, domain=(-2.75, -1.25)),
+        NEAR, FAR, normalize=True, num_coarse=64, interpret=True, force=True)
+    assert fr.s_seg == 2
+    # without num_coarse the historical default stands (tests/sweeps)
+    fr = make_fused_grid_render(
+        PlenoxelsModel(grid_res=128, domain=(-2.75, -1.25)),
+        NEAR, FAR, normalize=True, interpret=True, force=True)
+    assert fr.s_seg == 8
+
+
+def test_real_render_geometry_fits_with_auto_seg():
+    """The plan's fit bit passes for REAL full-image render geometry (8x8
+    pixel-block ordered rays, 64-sample coarse stratified t) once steps are
+    auto-sized — this is the exact configuration that silently gathered
+    before."""
+    from nerf_tpu.config import Config
+    from nerf_tpu.data.poses import spherical_orbit
+    from nerf_tpu.data.rays import compute_rays_single
+    from nerf_tpu.models.registry import grid_domain
+    from nerf_tpu.ops.pallas.fused_grid import (_SUB, _plan, auto_seg_samples,
+                                                tile_ray_order)
+    from nerf_tpu.ops.pallas.fused_grid_render import (FusedGridRender,
+                                                       _step_major)
+    from nerf_tpu.ops.sampling import stratified_sample
+
+    # 400x400 is the bench geometry; smaller images have angularly wider
+    # 8x8 pixel blocks (lateral extent grows as 1/hw) and legitimately
+    # fall back — the fit bit exists for exactly that
+    hw, r, num_coarse = 400, 128, 64
+    focal = 0.5 * hw / np.tan(0.5 * 0.6911)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3] = spherical_orbit(4)[0][:3]
+    ro, rd = compute_rays_single(hw, hw, focal, c2w)
+    perm = tile_ray_order(hw, hw)
+    ro = jnp.asarray(ro.reshape(-1, 3))[perm]
+    rd = jnp.asarray(rd.reshape(-1, 3))[perm]
+    lo, hi = grid_domain(Config())
+
+    fr = FusedGridRender(
+        grid_fn=None, basis_fn=None, sel=np.zeros((32, 8), np.float32),
+        grid_res=r, channels=28, near=NEAR, far=FAR, normalize=True,
+        softplus_sigma=True, domain=(lo, hi), num_coarse=num_coarse,
+        force=True)
+    s_seg = fr.s_seg
+    assert s_seg == auto_seg_samples(r, hi - lo, NEAR, FAR, num_coarse)
+
+    t = stratified_sample(jax.random.key(0), NEAR, FAR, num_coarse,
+                          ro.shape[0])
+    tr = fr.tr
+    num_rays, s = t.shape
+    t_tiles = -(-num_rays // tr)
+    g_segs = -(-s // (s_seg * fr.sps)) * fr.sps
+    pad_r, pad_s = t_tiles * tr - num_rays, g_segs * s_seg - s
+    ga = fr._cells(ro, rd, t)
+    ga = [jnp.pad(a, ((0, pad_r), (0, pad_s)), mode="edge")
+          if (pad_r or pad_s) else a for a in ga]
+    gx, gy, gz = (_step_major(a, t_tiles, tr, g_segs, s_seg) for a in ga)
+    _, _, fits = _plan(gx, gy, gz, t_tiles, tr, g_segs, s_seg, r // _SUB)
+    assert bool(fits), "auto-sized steps must fit the real coarse pass"
