@@ -24,6 +24,15 @@ Knobs: NERF_TPU_BENCH_MODEL=nerf|siren|gabor|kilonerf,
 NERF_TPU_BENCH_MODE=train (default) | render (full-image eval throughput,
 400x400 hierarchical 64+128), NERF_TPU_BENCH_{RAYS,SAMPLES,ITERS,SCAN,
 DTYPE,HW,FINE,CHUNK}.
+
+SUITE mode (the default when NO bench env knobs are set — i.e. the
+driver's plain `python bench.py`): one JSON line per key configuration
+(model families x train/render, incl. a grid family both ways), each run
+in its own subprocess under a timeout so a wedged config cannot stall
+the harness, followed by the headline flat-NeRF train line LAST (the
+line automated parsers read). Regressions anywhere in the surface are
+then visible in BENCH_r*.json, not just flat NeRF.
+NERF_TPU_BENCH_SUITE=0 forces single-config; any explicit knob does too.
 """
 
 from __future__ import annotations
@@ -238,11 +247,90 @@ def _guard_backend() -> None:
     os.environ.setdefault("NERF_TPU_BENCH_FINE", "0")
 
 
+# Suite rows: (name, env, timeout_s). Each runs `python bench.py` in a
+# subprocess with these knobs (suite auto-disables there since knobs are
+# set). Small ITERS/SCAN — compile dominates on the tunnel; the headline
+# keeps its full-length protocol and runs in-process, last.
+_SUITE = [
+    ("train_nerf_hier",
+     {"NERF_TPU_BENCH_SAMPLES": "64", "NERF_TPU_BENCH_FINE": "128",
+      "NERF_TPU_BENCH_ITERS": "5", "NERF_TPU_BENCH_SCAN": "10"}, 900),
+    ("train_siren",
+     {"NERF_TPU_BENCH_MODEL": "siren", "NERF_TPU_BENCH_ITERS": "5",
+      "NERF_TPU_BENCH_SCAN": "10"}, 900),
+    ("train_gabor",
+     {"NERF_TPU_BENCH_MODEL": "gabor", "NERF_TPU_BENCH_ITERS": "5",
+      "NERF_TPU_BENCH_SCAN": "10"}, 900),
+    ("train_kilonerf",
+     {"NERF_TPU_BENCH_MODEL": "kilonerf", "NERF_TPU_BENCH_ITERS": "3",
+      "NERF_TPU_BENCH_SCAN": "4"}, 1200),
+    ("train_plenoxels",
+     {"NERF_TPU_BENCH_MODEL": "plenoxels", "NERF_TPU_BENCH_SAMPLES": "64",
+      "NERF_TPU_BENCH_ITERS": "3", "NERF_TPU_BENCH_SCAN": "4"}, 900),
+    ("render_nerf",
+     {"NERF_TPU_BENCH_MODE": "render", "NERF_TPU_BENCH_ITERS": "3"}, 900),
+    ("render_plenoxels_dense",
+     {"NERF_TPU_BENCH_MODE": "render", "NERF_TPU_BENCH_MODEL": "plenoxels",
+      "NERF_TPU_BENCH_SAMPLES": "256", "NERF_TPU_BENCH_FINE": "0",
+      "NERF_TPU_BENCH_ITERS": "3"}, 900),
+]
+
+
+def _suite_enabled() -> bool:
+    flag = os.environ.get("NERF_TPU_BENCH_SUITE")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    # auto: plain `python bench.py` (the driver) runs the suite; any
+    # explicit knob means a targeted single-config run (sweep scripts)
+    return not any(
+        k.startswith("NERF_TPU_BENCH_")
+        and k not in ("NERF_TPU_BENCH_SUITE", "NERF_TPU_BENCH_SKIP_PROBE",
+                      "NERF_TPU_BENCH_PROBE_TIMEOUT")
+        for k in os.environ
+    )
+
+
+def _run_suite() -> None:
+    import subprocess
+    import sys
+
+    for name, env_extra, timeout_s in _SUITE:
+        env = dict(os.environ)
+        env.update(env_extra)
+        env["NERF_TPU_BENCH_SUITE"] = "0"
+        env.setdefault("NERF_TPU_BENCH_SKIP_PROBE", "1")
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=timeout_s, capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+            )
+            line = next((ln for ln in reversed(r.stdout.splitlines())
+                         if ln.startswith("{")), None)
+            if r.returncode == 0 and line:
+                row = json.loads(line)
+                row["config"] = name
+                print(json.dumps(row), flush=True)
+            else:
+                print(json.dumps({
+                    "config": name, "error": f"rc={r.returncode}",
+                    "stderr_tail": r.stderr[-300:],
+                }), flush=True)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"config": name,
+                              "error": f"timeout>{timeout_s}s"}), flush=True)
+
+
 def main() -> None:
     from nerf_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+    suite = _suite_enabled()
     _guard_backend()
+    if suite:
+        _run_suite()  # headline (flat NeRF train) still runs below, LAST
     if os.environ.get("NERF_TPU_BENCH_MODE", "train") == "render":
         _render_mode()
         return
@@ -286,6 +374,7 @@ def main() -> None:
                 "fast_rps": round(fast_rps, 1),
                 "base_rps": round(base_rps, 1),
                 "platform": jax.devices()[0].platform,
+                "config": f"train_{model_type}",
             }
         )
     )
