@@ -78,6 +78,7 @@ def _build(batch_rays: int, num_samples: int, compute_dtype: str,
     settings = RenderSettings(
         near=2.0, far=6.0, num_samples=num_samples, white_background=True,
         jitter_mode="per_ray", num_fine_samples=num_fine,
+        fine_sampling=os.environ.get("NERF_TPU_BENCH_FINE_SAMPLING", "merge"),
     )
     cfg = Config()
     tx = make_optimizer(cfg)
@@ -147,6 +148,7 @@ def _render_mode() -> None:
         num_fine_samples=int(os.environ.get("NERF_TPU_BENCH_FINE", 128)),
         eval_chunk_size=int(os.environ.get("NERF_TPU_BENCH_CHUNK", 0)),
         model_type=model_type,
+        fine_sampling=os.environ.get("NERF_TPU_BENCH_FINE_SAMPLING", "merge"),
     )
     model = _make_model(model_type, os.environ.get("NERF_TPU_BENCH_DTYPE",
                                                    "bfloat16"))

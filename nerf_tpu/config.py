@@ -69,6 +69,10 @@ class Config:
     perturb: bool = True           # stratified jitter on/off (off => bin midpoints? no: lower edges + 0.5)
     jitter_mode: str = "per_ray"   # "per_ray" | "shared" (shared = reference semantics,
                                    # one t-vector for the whole batch, rendering.py:6-27)
+    fine_sampling: str = "merge"   # "merge" (original-NeRF sorted union) |
+                                   # "resample" (one stratified sorted
+                                   # inverse-CDF draw — no merge op; see
+                                   # RenderSettings.fine_sampling)
 
     # --- training ---
     num_iters: int = 150000

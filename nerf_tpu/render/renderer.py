@@ -54,6 +54,16 @@ class RenderSettings:
     perturb: bool = True             # False => deterministic midpoint samples
     chunk_size: int = 8192           # ray tile size for full-image renders
     normalize_positions: bool = True  # the reference's [near,far]->[-1,1] map
+    # Fine-pass construction (hierarchical only):
+    #   "merge"    — original-NeRF: iid-uniform inverse-CDF draws, sorted
+    #                union with the coarse t (the parity default).
+    #   "resample" — mip-NeRF-style: ONE stratified sorted inverse-CDF
+    #                draw of (num_samples + num_fine_samples) quantiles;
+    #                monotone by construction, so merge_samples' (R, M, M)
+    #                rank/one-hot broadcasts vanish and sample_pdf runs
+    #                once. Statistically a lower-variance estimator of the
+    #                same integral (stratified beats iid), not bit-parity.
+    fine_sampling: str = "merge"
 
 
 class RenderOutput(NamedTuple):
@@ -185,16 +195,7 @@ def render_rays(
         )
 
     # Hierarchical pass: importance-sample the coarse weights (chip-local).
-    t_mid = 0.5 * (t[..., 1:] + t[..., :-1])
-    w_mid = jax.lax.stop_gradient(coarse.weights[..., 1:-1])
-    t_fine = sample_pdf(
-        k_fine,
-        t_mid,
-        w_mid,
-        settings.num_fine_samples,
-        deterministic=not settings.perturb,
-    )
-    t_all = merge_samples(t, jax.lax.stop_gradient(t_fine))
+    t_all = _fine_t(settings, k_fine, t, coarse.weights)
 
     fine = _render_pass(
         apply_fn,
@@ -213,6 +214,41 @@ def render_rays(
         disparity=fine.disparity,
         rgb_coarse=coarse.rgb,
     )
+
+
+
+def _fine_t(settings: RenderSettings, k_fine, t, weights):
+    """The fine pass's t-vector from the coarse weights (stop-gradient).
+
+    "merge": original-NeRF — iid inverse-CDF draws merged with the coarse
+    t (reference-extension parity default). "resample": one stratified
+    sorted inverse-CDF draw of all (num_samples + num_fine_samples)
+    quantiles — monotone by construction, no merge op (see
+    RenderSettings.fine_sampling)."""
+    t_mid = 0.5 * (t[..., 1:] + t[..., :-1])
+    w_mid = jax.lax.stop_gradient(weights[..., 1:-1])
+    if settings.fine_sampling == "resample":
+        mf = settings.num_samples + settings.num_fine_samples
+        num_rays = t.shape[0]
+        base = jnp.arange(mf, dtype=jnp.float32)[None, :]
+        if settings.perturb:
+            jit = jax.random.uniform(k_fine, (num_rays, mf),
+                                     dtype=jnp.float32, maxval=1.0 - 1e-5)
+        else:
+            jit = jnp.full((1, mf), 0.5, jnp.float32)
+        u = (base + jit) / mf                      # sorted per ray
+        u = jnp.broadcast_to(u, (num_rays, mf))
+        return jax.lax.stop_gradient(
+            sample_pdf(k_fine, t_mid, w_mid, mf, u=u))
+    if settings.fine_sampling != "merge":
+        raise ValueError(
+            f"fine_sampling must be 'merge' or 'resample', got "
+            f"{settings.fine_sampling!r}")
+    t_fine = sample_pdf(
+        k_fine, t_mid, w_mid, settings.num_fine_samples,
+        deterministic=not settings.perturb,
+    )
+    return merge_samples(t, jax.lax.stop_gradient(t_fine))
 
 
 def render_rays_train(
@@ -268,13 +304,7 @@ def render_rays_train(
     if settings.num_fine_samples <= 0:
         return loss_c, loss_c
 
-    t_mid = 0.5 * (t[..., 1:] + t[..., :-1])
-    w_mid = aux_c["weights"][..., 1:-1]  # already stop-gradient
-    t_fine = sample_pdf(
-        k_fine, t_mid, w_mid, settings.num_fine_samples,
-        deterministic=not settings.perturb,
-    )
-    t_all = merge_samples(t, jax.lax.stop_gradient(t_fine))
+    t_all = _fine_t(settings, k_fine, t, aux_c["weights"])
     loss_f, _ = fused_render.train(
         fine_params if fine_params is not None else params,
         rays_o, rays_d, viewdirs, t_all, target,

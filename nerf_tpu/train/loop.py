@@ -61,6 +61,7 @@ def render_settings_from_config(cfg: Config, ndc: bool = False) -> RenderSetting
         perturb=cfg.perturb,
         chunk_size=resolve_eval_chunk(cfg),
         normalize_positions=not ndc,
+        fine_sampling=cfg.fine_sampling,
     )
 
 

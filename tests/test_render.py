@@ -105,3 +105,62 @@ def test_shared_jitter_parity_mode():
     # identical rays + shared jitter -> identical outputs
     rgb = np.asarray(out.rgb)
     assert np.ptp(rgb, axis=0).max() < 1e-7
+
+
+def test_resample_fine_mode_close_to_merge():
+    """fine_sampling="resample" draws one sorted stratified inverse-CDF set
+    (no merge op). It is a different (lower-variance) estimator of the
+    same integral — renders must agree closely with the merge mode on a
+    smooth field, and exactly sorted t must feed the compositor."""
+    from nerf_tpu.render.renderer import _fine_t
+    from nerf_tpu.ops.sampling import stratified_sample
+
+    model = NeRFModel(hidden_dim=32, pos_encoding_dim=2, dir_encoding_dim=1)
+    params = model.init(jax.random.key(0))
+    fine_params = model.init(jax.random.key(1))
+    ro, rd = _toy_rays(64)
+    base = dict(near=2.0, far=6.0, num_samples=16, num_fine_samples=32)
+    key = jax.random.key(3)
+
+    out_m = render_rays(model.apply, params, ro, rd, key,
+                        RenderSettings(**base, fine_sampling="merge"),
+                        fine_params=fine_params)
+    out_r = render_rays(model.apply, params, ro, rd, key,
+                        RenderSettings(**base, fine_sampling="resample"),
+                        fine_params=fine_params)
+    # same integral, different stratification: close but not bitwise
+    np.testing.assert_allclose(np.asarray(out_m.rgb), np.asarray(out_r.rgb),
+                               atol=0.06)
+    assert not np.array_equal(np.asarray(out_m.rgb), np.asarray(out_r.rgb))
+
+    # the resampled t is sorted by construction (both perturb modes)
+    for perturb in (True, False):
+        s = RenderSettings(**base, fine_sampling="resample", perturb=perturb)
+        t = stratified_sample(key, 2.0, 6.0, 16, 64, perturb=perturb)
+        w = jnp.ones((64, 16), jnp.float32)
+        t_all = _fine_t(s, key, t, w)
+        assert t_all.shape == (64, 48)
+        assert bool(jnp.all(t_all[:, 1:] >= t_all[:, :-1]))
+
+    # unknown mode is a clear error
+    import pytest
+
+    with pytest.raises(ValueError, match="fine_sampling"):
+        _fine_t(RenderSettings(**base, fine_sampling="nope"), key,
+                jnp.ones((4, 16)), jnp.ones((4, 16)))
+
+
+def test_resample_mode_grads_flow():
+    model = NeRFModel(hidden_dim=32, pos_encoding_dim=2, dir_encoding_dim=1)
+    params = model.init(jax.random.key(0))
+    ro, rd = _toy_rays(8)
+    s = RenderSettings(near=2.0, far=6.0, num_samples=8, num_fine_samples=8,
+                       fine_sampling="resample")
+
+    def loss(p):
+        out = render_rays(model.apply, p, ro, rd, jax.random.key(1), s,
+                          fine_params=p)
+        return jnp.mean(out.rgb ** 2)
+
+    g = jax.jit(jax.grad(loss))(params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))

@@ -53,7 +53,7 @@ def _config_specs(args):
         3: dict(base, name="fern_llff_ndc", dataset_path=args.fern,
                 dataset_type="llff", ndc=True, white_background=False,
                 num_samples=64, num_fine_samples=64, model_type="nerf",
-                half_res=False),
+                half_res=False, llff_factor=args.llff_factor),
         4: dict(base, name="lego_siren", dataset_path=args.lego,
                 num_samples=64, num_fine_samples=128, model_type="siren"),
     }
@@ -162,6 +162,9 @@ def main() -> None:
                     help="path to Blender lego (nerf_synthetic/lego)")
     ap.add_argument("--fern", type=str, default="",
                     help="path to LLFF fern (nerf_llff_data/fern)")
+    ap.add_argument("--llff-factor", type=int, default=8,
+                    help="LLFF downsample factor (8 = the standard fern "
+                         "protocol; use 1 for the tiny synthetic drill)")
     ap.add_argument("--out", type=str, default="baseline_results.json")
     ap.add_argument("--configs", type=str, default="1,2,3,4")
     ap.add_argument("--target-psnr", type=float, default=30.0)
