@@ -53,14 +53,21 @@ dirs0 = jax.random.normal(jax.random.key(3), (N, 3))
 dirs0 = dirs0 / jnp.linalg.norm(dirs0, axis=-1, keepdims=True)
 
 
+def _fetch(out):
+    leaf = jax.tree.leaves(out)[0]
+    if jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+        leaf = jax.random.key_data(leaf)  # typed keys reject np.asarray
+    return float(np.asarray(leaf).ravel()[0])
+
+
 def timed(name, make_scan, *args, iters=3):
     f = jax.jit(make_scan)
     out = f(*args)
-    _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    _ = _fetch(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*args)
-    _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    _ = _fetch(out)
     dt = (time.perf_counter() - t0) / (iters * K)
     print(f"{name:28s} {dt*1e3:8.3f} ms/step", flush=True)
     return dt

@@ -42,8 +42,14 @@ done
 # 4. grid kernel microbench (tile/dtype sweep inside the tool)
 run "python tools/bench_grid_kernel.py"
 
-# 5. kilonerf train bench: multi-expert step (was 28.6k single-expert)
-run "NERF_TPU_BENCH_ITERS=10 NERF_TPU_BENCH_MODEL=kilonerf python bench.py"
+# 5. kilonerf train bench: multi-expert step (29.9k measured round-3;
+#    needs the long budget — compile alone can exceed 900s)
+run2() {
+  echo "=== $* ===" >> "$LOG"
+  timeout 1500 sh -c "$*" >> "$LOG" 2>&1
+  echo "--- exit=$? ---" >> "$LOG"
+}
+run2 "NERF_TPU_BENCH_ITERS=3 NERF_TPU_BENCH_SCAN=4 NERF_TPU_BENCH_MODEL=kilonerf python bench.py"
 
 # 5b. plenoxels TRAIN step (gather+scatter bound; no recorded baseline)
 run "NERF_TPU_BENCH_ITERS=10 NERF_TPU_BENCH_MODEL=plenoxels NERF_TPU_BENCH_SAMPLES=64 python bench.py"
@@ -51,5 +57,14 @@ run "NERF_TPU_BENCH_ITERS=10 NERF_TPU_BENCH_MODEL=plenoxels NERF_TPU_BENCH_SAMPL
 # 6. MLP flagship render at a REDUCED sample budget (the shape occupancy-
 #    guided sampling enables at equal quality; same harness, 16+32 samples)
 run "NERF_TPU_BENCH_ITERS=5 NERF_TPU_BENCH_MODE=render NERF_TPU_BENCH_SAMPLES=16 NERF_TPU_BENCH_FINE=32 python bench.py"
+
+# 7. grid family at its KERNEL-NATIVE shape (dense uniform marching, the
+#    papers' own sampling mode): fused vs gather (round-3: 162k vs 51k)
+run "NERF_TPU_BENCH_ITERS=3 NERF_TPU_BENCH_MODE=render NERF_TPU_BENCH_MODEL=plenoxels NERF_TPU_BENCH_SAMPLES=256 NERF_TPU_BENCH_FINE=0 python bench.py"
+run "NERF_TPU_BENCH_ITERS=3 NERF_TPU_BENCH_MODE=render NERF_TPU_BENCH_MODEL=plenoxels NERF_TPU_BENCH_SAMPLES=256 NERF_TPU_BENCH_FINE=0 NERF_TPU_NO_GRID_KERNEL=1 python bench.py"
+
+# 8. hierarchical eval with the single-draw fine mode (round-3: 440 ms vs
+#    469 merge)
+run "NERF_TPU_BENCH_ITERS=3 NERF_TPU_BENCH_MODE=render NERF_TPU_BENCH_FINE_SAMPLING=resample python bench.py"
 
 echo "measurement sweep done $(date -u)" >> "$LOG"
