@@ -298,17 +298,28 @@ def _run_suite() -> None:
     import subprocess
     import sys
 
-    for name, env_extra, timeout_s in _SUITE:
+    for i, (name, env_extra, timeout_s) in enumerate(_SUITE):
+        if i:
+            # back-to-back device claims on the tunneled TPU can hit a
+            # FailedPrecondition while the previous holder unwinds
+            time.sleep(10)
         env = dict(os.environ)
         env.update(env_extra)
         env["NERF_TPU_BENCH_SUITE"] = "0"
         env.setdefault("NERF_TPU_BENCH_SKIP_PROBE", "1")
         try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=timeout_s, capture_output=True, text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
-            )
+            for attempt in (0, 1):
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, timeout=timeout_s, capture_output=True,
+                    text=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+                )
+                if (r.returncode != 0 and attempt == 0
+                        and "FAILED_PRECONDITION" in r.stderr):
+                    time.sleep(30)  # transient device-claim race: retry once
+                    continue
+                break
             line = next((ln for ln in reversed(r.stdout.splitlines())
                          if ln.startswith("{")), None)
             if r.returncode == 0 and line:
