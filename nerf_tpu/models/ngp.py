@@ -57,6 +57,7 @@ class NGPModel:
 
     name: str = "ngp"
     eval_gather_bound = True    # hash-table gathers; eval chunks cap at 8k
+    scan_hostile = True         # big table buffers: see plenoxels.py
 
     @property
     def enc_dim(self) -> int:

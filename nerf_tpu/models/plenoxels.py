@@ -102,6 +102,11 @@ class PlenoxelsModel:
     # (gather-layout temporaries OOM the 32k MLP-path tile)
     wants_tile_order = True
     eval_gather_bound = True
+    # scan-chunked training dispatch costs grid families ~15% (measured:
+    # 13.0k rays/s per-step vs 11.0k scan-4 on the v5e — XLA cannot alias
+    # the multi-hundred-MB grid buffers across lax.scan iterations the way
+    # donation does across dispatches); fit() dispatches per step instead
+    scan_hostile = True
 
     @property
     def sh_dim(self) -> int:

@@ -368,6 +368,12 @@ def fit(
         # step crashed the tunneled TPU worker during compilation; scan-100
         # compiles in seconds). Explicit steps_per_call is honored as-is.
         max_chunk = min(max_chunk, 100)
+        if getattr(model, "scan_hostile", False):
+            # grid/hash families: scan-chunking measures ~15% SLOWER than
+            # per-step dispatch (XLA cannot alias the multi-hundred-MB
+            # param buffers across scan iterations the way donation does
+            # across dispatches) — see the trait on the model class
+            max_chunk = 1
     _step_fns: dict[int, object] = {1: train_step}
 
     def get_step_fn(c: int):

@@ -208,3 +208,38 @@ def test_fit_with_odd_intervals(tmp_path):
     saved = os.listdir(tmp_path / "models")
     assert any("nerf_model_000005" in s for s in saved)  # interval save
     assert any("nerf_model_000017" in s for s in saved)  # final save
+
+
+def test_scan_hostile_families_dispatch_per_step(tmp_path, monkeypatch):
+    """Grid/hash families carry scan_hostile=True and fit()'s auto chunking
+    then never builds a multi-step scan (measured ~15% slower for them);
+    MLP families keep scan chunks."""
+    import nerf_tpu.train.loop as loop_mod
+    from nerf_tpu.train.loop import fit
+    from tests.synthetic import make_synthetic_blender_scene
+
+    root = tmp_path / "scene"
+    make_synthetic_blender_scene(str(root), h=16, w=16, num_train=2,
+                                 num_val=1, num_test=1)
+    seen = []
+    orig = loop_mod.make_scan_train_step
+
+    def spy(*args, **kw):
+        seen.append(kw.get("num_steps"))
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(loop_mod, "make_scan_train_step", spy)
+    base = dict(
+        dataset_path=str(root), num_random_rays=16, num_samples=4,
+        use_pallas=False, log_interval=4, val_interval=1000,
+        save_interval=1000, save_path=str(tmp_path / "m"),
+        log_dir=str(tmp_path / "l"), learning_rate=0.01,
+    )
+    fit(Config(model_type="plenoxels", grid_res=4, **base),
+        max_steps=8, enable_tensorboard=False)
+    assert seen == [], f"plenoxels must not scan, got chunks {seen}"
+
+    fit(Config(model_type="nerf", hidden_dim=32, pos_encoding_dim=2,
+               dir_encoding_dim=1, **base),
+        max_steps=8, enable_tensorboard=False)
+    assert any(c and c > 1 for c in seen), seen
