@@ -271,6 +271,11 @@ _SUITE = [
      # scan_hostile trait — scan measures ~15% slower for them)
      {"NERF_TPU_BENCH_MODEL": "plenoxels", "NERF_TPU_BENCH_SAMPLES": "64",
       "NERF_TPU_BENCH_ITERS": "12", "NERF_TPU_BENCH_SCAN": "1"}, 900),
+    ("train_ngp",
+     # the hash-table scatter wall makes NGP ~0.5 s/step at 16 samples
+     # (BENCH_NOTES); tiny protocol, per-step dispatch (scan_hostile)
+     {"NERF_TPU_BENCH_MODEL": "ngp", "NERF_TPU_BENCH_SAMPLES": "16",
+      "NERF_TPU_BENCH_ITERS": "6", "NERF_TPU_BENCH_SCAN": "1"}, 1200),
     ("render_nerf",
      {"NERF_TPU_BENCH_MODE": "render", "NERF_TPU_BENCH_ITERS": "3"}, 900),
     ("render_plenoxels_dense",

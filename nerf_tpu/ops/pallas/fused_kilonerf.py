@@ -665,11 +665,17 @@ def _build_grouped(model, t: int, e_per: int, interpret: bool):
 def _reorder(out_t, orig_flat, n):
     """Tile layout -> original point order. The slot<->point map is a
     bijection over valid slots, so BOTH directions are gathers — the
-    default gather-VJP scatter-add (slow on TPU) never appears."""
-    inv = jnp.zeros((n + 1,), jnp.int32).at[orig_flat].set(
-        jnp.arange(orig_flat.shape[0], dtype=jnp.int32)
-    )[:n]
-    return out_t[inv]
+    default gather-VJP scatter-add (slow on TPU) never appears.
+
+    The inverse permutation comes from ONE sort_key_val (sorting
+    orig_flat ascending puts original index k's slot at position k;
+    dummy slots carry key n and sink to the tail) — a row SCATTER here
+    (.at[orig_flat].set) measured ~13 ms/call at the 262k-point training
+    shape vs ~2 ms for the sort (XLA TPU scatter is ~135 ns/row
+    regardless of width; see tools/microbench_scatter.py)."""
+    slots = jnp.arange(orig_flat.shape[0], dtype=jnp.int32)
+    _, inv_full = jax.lax.sort_key_val(orig_flat, slots)
+    return out_t[inv_full[:n]]
 
 
 def _reorder_fwd(out_t, orig_flat, n):
