@@ -305,7 +305,19 @@ def _run_suite() -> None:
     import subprocess
     import sys
 
+    # Total suite budget: the headline (flat-NeRF train) runs AFTER the
+    # suite and MUST be the last JSON line automated parsers see — if an
+    # external watchdog killed a long suite mid-row, a family row would
+    # masquerade as the headline. Skip remaining rows once the budget is
+    # spent (each skip prints an explicit row).
+    budget_s = float(os.environ.get("NERF_TPU_BENCH_SUITE_BUDGET", 2700))
+    t_start = time.perf_counter()
     for i, (name, env_extra, timeout_s) in enumerate(_SUITE):
+        if time.perf_counter() - t_start + timeout_s > budget_s:
+            print(json.dumps({"config": name,
+                              "error": "skipped: suite budget spent"}),
+                  flush=True)
+            continue
         if i:
             # back-to-back device claims on the tunneled TPU can hit a
             # FailedPrecondition while the previous holder unwinds
