@@ -19,20 +19,25 @@ Timing notes: steps are chained (state_{i+1} = f(state_i)) and the clock
 stops only after fetching the final step's loss to host — on remote/
 tunneled runtimes `block_until_ready` alone does not guarantee execution
 finished, and independent (unchained) calls can be elided entirely.
+``compile_s`` in each row is the wall time of the first (compiling)
+warmup call, so timeout budgets can be sized from data.
 
-Knobs: NERF_TPU_BENCH_MODEL=nerf|siren|gabor|kilonerf,
+Knobs: NERF_TPU_BENCH_MODEL=nerf|siren|gabor|kilonerf|plenoxels|ngp,
 NERF_TPU_BENCH_MODE=train (default) | render (full-image eval throughput,
-400x400 hierarchical 64+128), NERF_TPU_BENCH_{RAYS,SAMPLES,ITERS,SCAN,
-DTYPE,HW,FINE,CHUNK}.
+400x400 hierarchical 64+128) | dp8cpu (8-virtual-device CPU shard_map
+canary), NERF_TPU_BENCH_{RAYS,SAMPLES,ITERS,SCAN,DTYPE,HW,FINE,CHUNK}.
 
 SUITE mode (the default when NO bench env knobs are set — i.e. the
-driver's plain `python bench.py`): one JSON line per key configuration
-(model families x train/render, incl. a grid family both ways), each run
-in its own subprocess under a timeout so a wedged config cannot stall
-the harness, followed by the headline flat-NeRF train line LAST (the
-line automated parsers read). Regressions anywhere in the surface are
-then visible in BENCH_r*.json, not just flat NeRF.
-NERF_TPU_BENCH_SUITE=0 forces single-config; any explicit knob does too.
+driver's plain `python bench.py`): the flat-NeRF headline line prints
+FIRST, then one JSON line per key configuration (model families x
+train/render + the dp canary), each run in its own subprocess under a
+timeout, and the headline line is RE-EMITTED after every row. Automated
+parsers read the LAST line, so no matter where an external watchdog kills
+the process, the parsed metric is always the headline (round 3 lost its
+headline to exactly this: the suite ran first, a watchdog hit, and a
+mid-suite family row was recorded as the round's number).
+NERF_TPU_BENCH_SUITE=0 forces single-config; any explicit knob does too;
+NERF_TPU_BENCH_SUITE=1 forces the suite even with knobs (tests use this).
 """
 
 from __future__ import annotations
@@ -82,8 +87,10 @@ def _build(batch_rays: int, num_samples: int, compute_dtype: str,
     )
     cfg = Config()
     tx = make_optimizer(cfg)
-    params = model.init(jax.random.key(0))
-    fine_params = model.init(jax.random.key(3)) if num_fine else {}
+    # jitted init: eager per-layer RNG ops cost ~0.35 s each through the
+    # tunnel; one compiled (cache-hit) program is a single round-trip
+    params = jax.jit(model.init)(jax.random.key(0))
+    fine_params = jax.jit(model.init)(jax.random.key(3)) if num_fine else {}
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -93,14 +100,19 @@ def _build(batch_rays: int, num_samples: int, compute_dtype: str,
 
     pool_size = 1 << 20
     k = jax.random.key(1)
-    rays_d = jax.random.normal(k, (pool_size, 3))
-    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    pool = RayPool(
-        rays_o=jax.random.normal(k, (pool_size, 3)) * 0.1,
-        rays_d=rays_d,
-        rgb=jax.random.uniform(k, (pool_size, 3)),
-        viewdirs=rays_d,
-    )
+
+    @jax.jit
+    def make_pool(k):
+        rays_d = jax.random.normal(k, (pool_size, 3))
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        return RayPool(
+            rays_o=jax.random.normal(k, (pool_size, 3)) * 0.1,
+            rays_d=rays_d,
+            rgb=jax.random.uniform(k, (pool_size, 3)),
+            viewdirs=rays_d,
+        )
+
+    pool = make_pool(k)
     if steps_per_call > 1:
         step_fn = make_scan_train_step(
             model, tx, settings, batch_rays, jax.random.key(2),
@@ -116,11 +128,17 @@ def _build(batch_rays: int, num_samples: int, compute_dtype: str,
 
 def _measure(step_fn, state, pool, batch_rays: int, calls: int,
              steps_per_call: int, warmup: int):
+    """Returns (rays_per_sec, state, compile_s) — compile_s is the wall
+    time of the first (compiling) warmup call."""
     def fetch(m):
         loss = m["loss"]
         return float(np.asarray(loss if loss.ndim == 0 else loss[-1]))
 
-    for _ in range(warmup):
+    t_c = time.perf_counter()
+    state, m = step_fn(state, pool)
+    fetch(m)
+    compile_s = time.perf_counter() - t_c
+    for _ in range(max(warmup - 1, 0)):
         state, m = step_fn(state, pool)
     fetch(m)
     t0 = time.perf_counter()
@@ -128,10 +146,10 @@ def _measure(step_fn, state, pool, batch_rays: int, calls: int,
         state, m = step_fn(state, pool)
     fetch(m)  # chained states => this forces the whole timed sequence
     dt = time.perf_counter() - t0
-    return batch_rays * steps_per_call * calls / dt, state
+    return batch_rays * steps_per_call * calls / dt, state, compile_s
 
 
-def _render_mode() -> None:
+def _render_mode() -> dict:
     """NERF_TPU_BENCH_MODE=render: full-image (eval) forward throughput at
     the BENCH_NOTES shape — 400x400, hierarchical 64+128, bf16, auto chunk."""
     import jax
@@ -153,8 +171,8 @@ def _render_mode() -> None:
     model = _make_model(model_type, os.environ.get("NERF_TPU_BENCH_DTYPE",
                                                    "bfloat16"))
     settings = render_settings_from_config(cfg)
-    params = model.init(jax.random.key(0))
-    fine_params = model.init(jax.random.key(1))
+    params = jax.jit(model.init)(jax.random.key(0))
+    fine_params = jax.jit(model.init)(jax.random.key(1))
     render = make_eval_render(model, settings)
 
     # a real camera pose (orbit radius 4, lego-ish fov), not random ray
@@ -176,7 +194,9 @@ def _render_mode() -> None:
                      hw=(hw, hw))
         return float(np.asarray(out.rgb[0, 0]))  # host fetch = hard sync
 
+    t_c = time.perf_counter()
     frame(0)  # compile
+    compile_s = time.perf_counter() - t_c
     reps = int(os.environ.get("NERF_TPU_BENCH_ITERS", 5))
     t0 = time.perf_counter()
     for i in range(reps):
@@ -186,15 +206,139 @@ def _render_mode() -> None:
     # exact shape only; other models/shapes have no recorded baseline
     default_shape = (model_type == "nerf" and hw == 400
                      and cfg.num_samples == 64 and cfg.num_fine_samples == 128)
-    print(json.dumps({
+    return {
         "metric": "render_rays_per_sec",
         "value": round(n / dt, 1),
         "unit": "rays/s",
         "vs_baseline": (round((n / dt) / 201_000.0, 3)
                         if default_shape else None),
         "ms_per_frame": round(dt * 1e3, 1),
+        "compile_s": round(compile_s, 1),
         "platform": jax.devices()[0].platform,
-    }))
+    }
+
+
+def _dp8cpu_mode() -> dict:
+    """NERF_TPU_BENCH_MODE=dp8cpu: sharded-step dispatch-overhead canary.
+
+    Multi-chip hardware is absent, but the explicit shard_map DP step's
+    OVERHEAD (per-shard sampling, psum insertion, shard_map wrapping) is
+    measurable on the 8-virtual-device CPU mesh relative to the plain
+    single-device step at the same global batch. The 8 virtual devices
+    share one CPU, so value is NOT a throughput claim; the tracked number
+    is vs_baseline = dp_rps / single_rps — a regression canary for
+    scale-out readiness (VERDICT r3 item 7). Caller must set
+    JAX_PLATFORMS=cpu and xla_force_host_platform_device_count=8."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_tpu.config import Config
+    from nerf_tpu.data.pipeline import RayPool
+    from nerf_tpu.parallel.dp import make_dp_train_step
+    from nerf_tpu.parallel.mesh import create_mesh, shard_pool
+    from nerf_tpu.render.renderer import RenderSettings
+    from nerf_tpu.train.optim import make_optimizer
+    from nerf_tpu.train.state import TrainState
+
+    assert jax.devices()[0].platform == "cpu" and len(jax.devices()) >= 8, (
+        "dp8cpu mode needs JAX_PLATFORMS=cpu + "
+        "--xla_force_host_platform_device_count=8")
+    batch_rays = int(os.environ.get("NERF_TPU_BENCH_RAYS", 256))
+    num_samples = int(os.environ.get("NERF_TPU_BENCH_SAMPLES", 16))
+    calls = int(os.environ.get("NERF_TPU_BENCH_ITERS", 8))
+    model = _make_model("nerf", "float32")
+    settings = RenderSettings(near=2.0, far=6.0, num_samples=num_samples,
+                              white_background=True, jitter_mode="per_ray")
+    tx = make_optimizer(Config())
+    def fresh_state():
+        # fresh buffers each time: the measured steps donate their state
+        p = jax.jit(model.init)(jax.random.key(0))
+        return TrainState(step=jnp.zeros((), jnp.int32), params=p,
+                          fine_params={}, opt_state=tx.init((p, {})))
+
+    pool_size = 1 << 14
+    k = jax.random.key(1)
+    rays_d = jax.random.normal(k, (pool_size, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    pool = RayPool(rays_o=jax.random.normal(k, (pool_size, 3)) * 0.1,
+                   rays_d=rays_d, rgb=jax.random.uniform(k, (pool_size, 3)),
+                   viewdirs=rays_d)
+
+    from nerf_tpu.train.step import make_train_step
+
+    single = make_train_step(model, tx, settings, batch_rays,
+                             jax.random.key(2), use_pallas=False, donate=True)
+    single_rps, _, compile_single = _measure(
+        single, fresh_state(), pool, batch_rays, calls, 1, warmup=2)
+
+    mesh = create_mesh("data:8")
+    dp = make_dp_train_step(model, tx, settings, batch_rays,
+                            jax.random.key(2), mesh, use_pallas=False,
+                            donate=True)
+    sharded = shard_pool(pool, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep_state = jax.device_put(fresh_state(),
+                               NamedSharding(mesh, PartitionSpec()))
+    dp_rps, _, compile_dp = _measure(
+        dp, rep_state, sharded, batch_rays, calls, 1, warmup=2)
+    return {
+        "metric": "dp8cpu_rays_per_sec",
+        "value": round(dp_rps, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(dp_rps / single_rps, 3),
+        "single_rps": round(single_rps, 1),
+        "compile_s": round(compile_single + compile_dp, 1),
+        "platform": "cpu",
+    }
+
+
+def _train_mode() -> dict:
+    """The default mode: train-step throughput for NERF_TPU_BENCH_MODEL
+    (flat NeRF at the reference shape when no knobs are set = the
+    headline)."""
+    import jax
+
+    batch_rays = int(os.environ.get("NERF_TPU_BENCH_RAYS", 1024))
+    num_samples = int(os.environ.get("NERF_TPU_BENCH_SAMPLES", 256))
+    calls = int(os.environ.get("NERF_TPU_BENCH_ITERS", 10))
+    scan = int(os.environ.get("NERF_TPU_BENCH_SCAN", 20))
+    fast_dtype = os.environ.get("NERF_TPU_BENCH_DTYPE", "bfloat16")
+    model_type = os.environ.get("NERF_TPU_BENCH_MODEL", "nerf")
+
+    # baseline: pure-JAX float32, one dispatch per step (reference loop shape)
+    step_fn, state, pool = _build(batch_rays, num_samples, "float32", False, 1,
+                                  model_type)
+    base_rps, _, compile_base = _measure(step_fn, state, pool, batch_rays,
+                                         calls * min(scan, 4), 1, warmup=3)
+
+    # fast path: scan-chunked dispatch + fused Pallas kernel + bf16 matmuls
+    step_fn, state, pool = _build(batch_rays, num_samples, fast_dtype, True,
+                                  scan, model_type)
+    fast_rps, _, compile_fast = _measure(step_fn, state, pool, batch_rays,
+                                         calls, scan, warmup=2)
+
+    # Report the fast path's OWN number: a regression below the pure-JAX
+    # baseline must show up as vs_baseline < 1, never be masked by max().
+    if fast_rps < base_rps:
+        import sys
+
+        print(
+            f"WARNING: fast path ({fast_rps:.0f} rays/s) is SLOWER than the "
+            f"pure-JAX baseline ({base_rps:.0f} rays/s) — regression!",
+            file=sys.stderr,
+        )
+    return {
+        "metric": "rays_per_sec_per_chip",
+        "value": round(fast_rps, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(fast_rps / base_rps, 3),
+        "fast_rps": round(fast_rps, 1),
+        "base_rps": round(base_rps, 1),
+        "compile_s": round(compile_base + compile_fast, 1),
+        "platform": jax.devices()[0].platform,
+        "config": f"train_{model_type}",
+    }
 
 
 def _probe_default_backend(timeout_s: float) -> bool:
@@ -216,18 +360,20 @@ def _probe_default_backend(timeout_s: float) -> bool:
         return False
 
 
-def _guard_backend() -> None:
+def _guard_backend() -> bool:
     """CPU-fallback guard: if the default backend is unreachable, restrict
     to CPU so the bench still emits its JSON line (the "platform" field
     then says cpu) instead of hanging the harness. Explicit
-    NERF_TPU_PLATFORM skips the probe."""
+    NERF_TPU_PLATFORM skips the probe. Returns True when the fallback
+    engaged (the suite is then skipped — its rows would be non-comparable
+    AND each subprocess would hang to its timeout on the dead tunnel)."""
     if os.environ.get("NERF_TPU_PLATFORM"):
-        return
+        return False
     if os.environ.get("NERF_TPU_BENCH_SKIP_PROBE"):
-        return  # caller already verified the device (tpu_measurements.sh)
+        return False  # caller already verified the device
     timeout_s = float(os.environ.get("NERF_TPU_BENCH_PROBE_TIMEOUT", 240))
     if _probe_default_backend(timeout_s):
-        return
+        return False
     import sys
 
     print(
@@ -247,41 +393,50 @@ def _guard_backend() -> None:
     os.environ.setdefault("NERF_TPU_BENCH_HW", "64")
     os.environ.setdefault("NERF_TPU_BENCH_SAMPLES", "16")
     os.environ.setdefault("NERF_TPU_BENCH_FINE", "0")
+    return True
 
 
 # Suite rows: (name, env, timeout_s). Each runs `python bench.py` in a
-# subprocess with these knobs (suite auto-disables there since knobs are
-# set). Small ITERS/SCAN — compile dominates on the tunnel; the headline
-# keeps its full-length protocol and runs in-process, last.
+# subprocess with these knobs. Timeouts assume the persistent compile
+# cache (utils/platform.py) is warm — tools/tpu_measurements.sh and the
+# verify skill warm it during the round; a cold row that times out only
+# costs its own slot (the headline is already printed and re-emitted).
 _SUITE = [
     ("train_nerf_hier",
      {"NERF_TPU_BENCH_SAMPLES": "64", "NERF_TPU_BENCH_FINE": "128",
-      "NERF_TPU_BENCH_ITERS": "5", "NERF_TPU_BENCH_SCAN": "10"}, 900),
+      "NERF_TPU_BENCH_ITERS": "5", "NERF_TPU_BENCH_SCAN": "10"}, 300),
     ("train_siren",
      {"NERF_TPU_BENCH_MODEL": "siren", "NERF_TPU_BENCH_ITERS": "5",
-      "NERF_TPU_BENCH_SCAN": "10"}, 900),
+      "NERF_TPU_BENCH_SCAN": "10"}, 300),
     ("train_gabor",
      {"NERF_TPU_BENCH_MODEL": "gabor", "NERF_TPU_BENCH_ITERS": "5",
-      "NERF_TPU_BENCH_SCAN": "10"}, 900),
+      "NERF_TPU_BENCH_SCAN": "10"}, 300),
     ("train_kilonerf",
      {"NERF_TPU_BENCH_MODEL": "kilonerf", "NERF_TPU_BENCH_ITERS": "3",
-      "NERF_TPU_BENCH_SCAN": "4"}, 1200),
+      "NERF_TPU_BENCH_SCAN": "4"}, 360),
     ("train_plenoxels",
      # SCAN=1 matches fit(): grid families dispatch per step (the
      # scan_hostile trait — scan measures ~15% slower for them)
      {"NERF_TPU_BENCH_MODEL": "plenoxels", "NERF_TPU_BENCH_SAMPLES": "64",
-      "NERF_TPU_BENCH_ITERS": "12", "NERF_TPU_BENCH_SCAN": "1"}, 900),
+      "NERF_TPU_BENCH_ITERS": "12", "NERF_TPU_BENCH_SCAN": "1"}, 300),
     ("train_ngp",
      # the hash-table scatter wall makes NGP ~0.5 s/step at 16 samples
      # (BENCH_NOTES); tiny protocol, per-step dispatch (scan_hostile)
      {"NERF_TPU_BENCH_MODEL": "ngp", "NERF_TPU_BENCH_SAMPLES": "16",
-      "NERF_TPU_BENCH_ITERS": "6", "NERF_TPU_BENCH_SCAN": "1"}, 1200),
+      "NERF_TPU_BENCH_ITERS": "6", "NERF_TPU_BENCH_SCAN": "1"}, 360),
     ("render_nerf",
-     {"NERF_TPU_BENCH_MODE": "render", "NERF_TPU_BENCH_ITERS": "3"}, 900),
+     {"NERF_TPU_BENCH_MODE": "render", "NERF_TPU_BENCH_ITERS": "3"}, 300),
     ("render_plenoxels_dense",
      {"NERF_TPU_BENCH_MODE": "render", "NERF_TPU_BENCH_MODEL": "plenoxels",
       "NERF_TPU_BENCH_SAMPLES": "256", "NERF_TPU_BENCH_FINE": "0",
-      "NERF_TPU_BENCH_ITERS": "3"}, 900),
+      "NERF_TPU_BENCH_ITERS": "3"}, 300),
+    ("train_nerf_dp8cpu",
+     # scale-out readiness canary: shard_map DP step vs single-device on
+     # the 8-virtual-device CPU mesh (vs_baseline = dp/single overhead
+     # ratio). Runs on CPU regardless of the TPU tunnel.
+     {"NERF_TPU_BENCH_MODE": "dp8cpu", "JAX_PLATFORMS": "cpu",
+      "NERF_TPU_PLATFORM": "cpu",
+      "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}, 300),
 ]
 
 
@@ -296,23 +451,26 @@ def _suite_enabled() -> bool:
     return not any(
         k.startswith("NERF_TPU_BENCH_")
         and k not in ("NERF_TPU_BENCH_SUITE", "NERF_TPU_BENCH_SKIP_PROBE",
-                      "NERF_TPU_BENCH_PROBE_TIMEOUT")
+                      "NERF_TPU_BENCH_PROBE_TIMEOUT",
+                      "NERF_TPU_BENCH_SUITE_ROWS")
         for k in os.environ
     )
 
 
-def _run_suite() -> None:
+def _run_suite(headline: dict) -> None:
+    """Run the family rows, re-emitting the headline after EVERY row so the
+    last stdout line is the headline no matter where a watchdog strikes."""
     import subprocess
     import sys
 
-    # Total suite budget: the headline (flat-NeRF train) runs AFTER the
-    # suite and MUST be the last JSON line automated parsers see — if an
-    # external watchdog killed a long suite mid-row, a family row would
-    # masquerade as the headline. Skip remaining rows once the budget is
-    # spent (each skip prints an explicit row).
-    budget_s = float(os.environ.get("NERF_TPU_BENCH_SUITE_BUDGET", 2700))
+    budget_s = float(os.environ.get("NERF_TPU_BENCH_SUITE_BUDGET", 1500))
+    only = os.environ.get("NERF_TPU_BENCH_SUITE_ROWS")
+    rows = _SUITE if not only else [
+        r for r in _SUITE if r[0] in only.split(",")]
+    reemit = dict(headline)
+    reemit["headline"] = True
     t_start = time.perf_counter()
-    for i, (name, env_extra, timeout_s) in enumerate(_SUITE):
+    for i, (name, env_extra, timeout_s) in enumerate(rows):
         if time.perf_counter() - t_start + timeout_s > budget_s:
             print(json.dumps({"config": name,
                               "error": "skipped: suite budget spent"}),
@@ -321,7 +479,7 @@ def _run_suite() -> None:
         if i:
             # back-to-back device claims on the tunneled TPU can hit a
             # FailedPrecondition while the previous holder unwinds
-            time.sleep(10)
+            time.sleep(5)
         env = dict(os.environ)
         env.update(env_extra)
         env["NERF_TPU_BENCH_SUITE"] = "0"
@@ -336,7 +494,7 @@ def _run_suite() -> None:
                 )
                 if (r.returncode != 0 and attempt == 0
                         and "FAILED_PRECONDITION" in r.stderr):
-                    time.sleep(30)  # transient device-claim race: retry once
+                    time.sleep(20)  # transient device-claim race: retry once
                     continue
                 break
             line = next((ln for ln in reversed(r.stdout.splitlines())
@@ -353,6 +511,7 @@ def _run_suite() -> None:
         except subprocess.TimeoutExpired:
             print(json.dumps({"config": name,
                               "error": f"timeout>{timeout_s}s"}), flush=True)
+        print(json.dumps(reemit), flush=True)
 
 
 def main() -> None:
@@ -360,56 +519,19 @@ def main() -> None:
 
     apply_platform_env()
     suite = _suite_enabled()
-    _guard_backend()
-    if suite:
-        _run_suite()  # headline (flat NeRF train) still runs below, LAST
-    if os.environ.get("NERF_TPU_BENCH_MODE", "train") == "render":
-        _render_mode()
+    fallback = _guard_backend()
+    mode = os.environ.get("NERF_TPU_BENCH_MODE", "train")
+    if mode == "render":
+        print(json.dumps(_render_mode()), flush=True)
         return
-    batch_rays = int(os.environ.get("NERF_TPU_BENCH_RAYS", 1024))
-    num_samples = int(os.environ.get("NERF_TPU_BENCH_SAMPLES", 256))
-    calls = int(os.environ.get("NERF_TPU_BENCH_ITERS", 10))
-    scan = int(os.environ.get("NERF_TPU_BENCH_SCAN", 20))
-    fast_dtype = os.environ.get("NERF_TPU_BENCH_DTYPE", "bfloat16")
-    model_type = os.environ.get("NERF_TPU_BENCH_MODEL", "nerf")
-
-    # baseline: pure-JAX float32, one dispatch per step (reference loop shape)
-    step_fn, state, pool = _build(batch_rays, num_samples, "float32", False, 1,
-                                  model_type)
-    base_rps, _ = _measure(step_fn, state, pool, batch_rays,
-                           calls * min(scan, 4), 1, warmup=3)
-
-    # fast path: scan-chunked dispatch + fused Pallas kernel + bf16 matmuls
-    step_fn, state, pool = _build(batch_rays, num_samples, fast_dtype, True,
-                                  scan, model_type)
-    fast_rps, _ = _measure(step_fn, state, pool, batch_rays, calls, scan, warmup=2)
-
-    # Report the fast path's OWN number: a regression below the pure-JAX
-    # baseline must show up as vs_baseline < 1, never be masked by max().
-    if fast_rps < base_rps:
-        import sys
-
-        print(
-            f"WARNING: fast path ({fast_rps:.0f} rays/s) is SLOWER than the "
-            f"pure-JAX baseline ({base_rps:.0f} rays/s) — regression!",
-            file=sys.stderr,
-        )
-    import jax
-
-    print(
-        json.dumps(
-            {
-                "metric": "rays_per_sec_per_chip",
-                "value": round(fast_rps, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(fast_rps / base_rps, 3),
-                "fast_rps": round(fast_rps, 1),
-                "base_rps": round(base_rps, 1),
-                "platform": jax.devices()[0].platform,
-                "config": f"train_{model_type}",
-            }
-        )
-    )
+    if mode == "dp8cpu":
+        print(json.dumps(_dp8cpu_mode()), flush=True)
+        return
+    # The headline (or the targeted single config) ALWAYS prints first.
+    row = _train_mode()
+    print(json.dumps(row), flush=True)
+    if suite and not fallback:
+        _run_suite(row)
 
 
 if __name__ == "__main__":

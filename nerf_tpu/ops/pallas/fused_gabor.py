@@ -30,6 +30,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -223,7 +224,9 @@ def make_fused_gabor_apply(model, tile_fwd: int = 1024, tile_bwd: int = 256,
     num_w = len(names)
 
     enc_args = tuple(
-        jnp.asarray(jnp.pad(a, ((0, 5), (0, 0))) if a.ndim == 2 else a[None, :])
+        # numpy (not device arrays): device-array closure constants cost a
+        # D2H fetch per constant at every lowering (~16 s on the tunnel)
+        np.asarray(np.pad(a, ((0, 5), (0, 0))) if a.ndim == 2 else a[None, :])
         for a in _enc_consts(model.dir_encoding_dim, 3, d_pad)
     )
     enc_specs = [

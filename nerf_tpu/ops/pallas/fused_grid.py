@@ -107,7 +107,8 @@ def _expand_consts():
     ey = np.zeros((8, 64), np.float32)
     for y in range(8):
         ey[y, y * 8:(y + 1) * 8] = 1.0
-    return jnp.asarray(ex), jnp.asarray(ey)
+    # numpy, not device arrays (lowering D2H cost; see fused_render.py)
+    return ex, ey
 
 
 # ------------------------------------------------------------------- kernel

@@ -236,7 +236,8 @@ class FusedGridRender:
                  interpret: bool = False, force: bool = False):
         self.grid_fn = grid_fn
         self.basis_fn = basis_fn
-        self.sel = jnp.asarray(sel, jnp.float32)
+        # numpy, not a device array (lowering D2H; see fused_render.py)
+        self.sel = np.asarray(sel, np.float32)
         self.r, self.c = int(grid_res), int(channels)
         self.near, self.far, self.normalize = float(near), float(far), normalize
         self.domain = (float(domain[0]), float(domain[1]))

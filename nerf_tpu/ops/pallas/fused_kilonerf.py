@@ -515,8 +515,9 @@ def _build_grouped(model, t: int, e_per: int, interpret: bool):
     def enc8(num_freqs, pad):
         e, s, phase, mask = _enc_consts(num_freqs, 3, pad)
         pad8 = lambda a: np.pad(a, ((0, 5), (0, 0)))  # 3 rows -> 8 sublanes
-        return (jnp.asarray(pad8(e)), jnp.asarray(pad8(s)),
-                jnp.asarray(phase[None, :]), jnp.asarray(mask[None, :]))
+        # numpy, not device arrays: closure constants lower without the
+        # per-constant D2H fetch (~16 s each on the tunneled TPU)
+        return (pad8(e), pad8(s), phase[None, :], mask[None, :])
 
     enc_args = enc8(model.pos_encoding_dim, p_pad) \
         + enc8(model.dir_encoding_dim, d_pad)
@@ -528,7 +529,7 @@ def _build_grouped(model, t: int, e_per: int, interpret: bool):
         for ee in range(e_per):
             for j in range(min(8, h)):
                 red8[ee * h + j, j] = 1.0
-        consts = enc_args + (jnp.asarray(red8),)
+        consts = enc_args + (red8,)
         kargs["e"] = e_per
         fwd_kernel, bwd_kernel = _fwd_kernel_multi, _bwd_kernel_multi
     else:

@@ -369,7 +369,11 @@ def _build_fused(h: int, p_pad: int, d_pad: int, real_p: int, real_d: int,
                  num_freq_p: int, num_freq_d: int, cdt, tile_fwd: int,
                  tile_bwd: int, interpret: bool):
     def to2d(a):
-        return jnp.asarray(a if a.ndim == 2 else a[None, :])
+        # numpy, NOT jnp: these are closure constants of every traced
+        # program using the kernel — as device arrays each one costs a
+        # D2H fetch at lowering time (measured 16.6 s/constant on the
+        # tunneled TPU); numpy embeds directly into the HLO.
+        return np.asarray(a if a.ndim == 2 else a[None, :])
 
     enc_args = tuple(
         to2d(a)

@@ -48,6 +48,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -617,12 +618,15 @@ class FusedNerfRender:
 
         ep, sp, phs_p, msk_p = _enc_consts(model.pos_encoding_dim, 3, self.p_pad)
         ed, sd, phs_d, msk_d = _enc_consts(model.dir_encoding_dim, 3, self.d_pad)
-        self._Ep, self._Sp = jnp.asarray(ep), jnp.asarray(sp)
-        self._Ed, self._Sd = jnp.asarray(ed), jnp.asarray(sd)
-        self._phase_p = jnp.asarray(phs_p)[None, :]
-        self._mask_p = jnp.asarray(msk_p)[None, :]
-        self._phase_d = jnp.asarray(phs_d)[None, :]
-        self._mask_d = jnp.asarray(msk_d)[None, :]
+        # numpy, not device arrays: these become closure constants of every
+        # traced program using the kernel, and device-array constants cost
+        # a D2H fetch each at lowering (~16 s/constant on the tunneled TPU)
+        self._Ep, self._Sp = np.asarray(ep), np.asarray(sp)
+        self._Ed, self._Sd = np.asarray(ed), np.asarray(sd)
+        self._phase_p = np.asarray(phs_p)[None, :]
+        self._mask_p = np.asarray(msk_p)[None, :]
+        self._phase_d = np.asarray(phs_d)[None, :]
+        self._mask_d = np.asarray(msk_d)[None, :]
 
     def supported(self) -> bool:
         return self.h % 128 == 0 and (self.h // 2) % 128 == 0

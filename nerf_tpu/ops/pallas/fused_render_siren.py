@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -387,9 +388,10 @@ class FusedSirenRender:
         self._cache = {}
 
         ed, sd, phs_d, msk_d = _enc_consts(model.dir_encoding_dim, 3, self.d_pad)
-        self._Ed, self._Sd = jnp.asarray(ed), jnp.asarray(sd)
-        self._phase_d = jnp.asarray(phs_d)[None, :]
-        self._mask_d = jnp.asarray(msk_d)[None, :]
+        # numpy, not device arrays (lowering D2H cost; see fused_render.py)
+        self._Ed, self._Sd = np.asarray(ed), np.asarray(sd)
+        self._phase_d = np.asarray(phs_d)[None, :]
+        self._mask_d = np.asarray(msk_d)[None, :]
 
     def supported(self) -> bool:
         return (self.h % 128 == 0 and (self.h // 2) % 128 == 0

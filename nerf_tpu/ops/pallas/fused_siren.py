@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -221,7 +222,10 @@ def make_fused_siren_apply(model, tile_fwd: int = 2048, tile_bwd: int = 256,
     sigma_mul, rgb_mul = model.sigma_mul, model.rgb_mul
 
     enc_args = tuple(
-        jnp.asarray(a if a.ndim == 2 else a[None, :])
+        # numpy (not device arrays): lowering embeds numpy closure
+        # constants directly; device-array constants cost a D2H fetch
+        # per constant per trace (~16 s each on the tunneled TPU)
+        np.asarray(a if a.ndim == 2 else a[None, :])
         for a in _enc_consts(model.dir_encoding_dim, 3, d_pad)
     )
     enc_specs = [

@@ -43,8 +43,11 @@ def resolve_apply_fn(model, use_pallas: bool = True, probe: bool = True) -> Call
         if fused is None:
             return model.apply
         if probe:
-            pts = jnp.zeros((4, 3), jnp.float32)
-            drs = jnp.ones((4, 3), jnp.float32)
+            # numpy, not device arrays: closure constants of the probe
+            # lower without a per-constant D2H fetch (~11 s each on the
+            # tunneled TPU)
+            pts = np.zeros((4, 3), np.float32)
+            drs = np.ones((4, 3), np.float32)
             params = jax.eval_shape(model.init, jax.random.key(0))
             params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
 
@@ -91,9 +94,10 @@ def resolve_fused_render(model, settings: RenderSettings,
             if params is not None:
                 params = jax.tree.map(
                     lambda s: jnp.zeros(s.shape, s.dtype), params)
-            ro = jnp.zeros((8, 3), jnp.float32)
-            rd = jnp.ones((8, 3), jnp.float32)
-            t = jnp.linspace(0.1, 1.0, 8)[None, :].repeat(8, 0)
+            ro = np.zeros((8, 3), np.float32)
+            rd = np.ones((8, 3), np.float32)
+            t = np.repeat(np.linspace(0.1, 1.0, 8, dtype=np.float32)[None, :],
+                          8, 0)
 
             def probe_eval(p):
                 out = fr(p, ro, rd, rd, t)
@@ -105,9 +109,10 @@ def resolve_fused_render(model, settings: RenderSettings,
         if probe:
             params = jax.eval_shape(model.init, jax.random.key(0))
             params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
-            ro = jnp.zeros((8, 3), jnp.float32)
-            rd = jnp.ones((8, 3), jnp.float32)
-            t = jnp.linspace(0.1, 1.0, 8)[None, :].repeat(8, 0)
+            ro = np.zeros((8, 3), np.float32)
+            rd = np.ones((8, 3), np.float32)
+            t = np.repeat(np.linspace(0.1, 1.0, 8, dtype=np.float32)[None, :],
+                          8, 0)
 
             def probe_fwd(p):
                 out = fr(p, ro, rd, rd, t)
@@ -121,7 +126,7 @@ def resolve_fused_render(model, settings: RenderSettings,
                 jax.block_until_ready(
                     jax.jit(probe_fwd).lower(params).compile()(params)
                 )
-                tgt = jnp.zeros((8, 3), jnp.float32)
+                tgt = np.zeros((8, 3), np.float32)
 
                 def probe_train(p):
                     return fr.train(p, ro, rd, rd, t, tgt, True)[0]

@@ -47,12 +47,19 @@ def test_suite_emits_config_rows(monkeypatch, capsys):
          {"NERF_TPU_BENCH_MODE": "render", "NERF_TPU_BENCH_HW": "not_an_int"},
          120),
     ])
-    bench._run_suite()
+    headline = {"metric": "rays_per_sec_per_chip", "value": 1.0,
+                "config": "train_nerf"}
+    bench._run_suite(headline)
     lines = [ln for ln in capsys.readouterr().out.splitlines()
              if ln.startswith("{")]
     rows = [json.loads(ln) for ln in lines]
-    by_name = {r["config"]: r for r in rows}
+    by_name = {r["config"]: r for r in rows if not r.get("headline")}
     assert set(by_name) == {"tiny_render", "broken"}
     assert by_name["tiny_render"]["metric"] == "render_rays_per_sec"
     assert by_name["tiny_render"]["value"] > 0
     assert "error" in by_name["broken"]
+    # the headline is re-emitted after EVERY row (watchdog-proof record),
+    # so the last JSON line is always the headline
+    reemits = [r for r in rows if r.get("headline")]
+    assert len(reemits) == 2
+    assert json.loads(lines[-1]).get("headline")
