@@ -78,10 +78,20 @@ def _pieces(w, h, p_pad, d_pad):
     return _pieces_multi(w, h, p_pad, d_pad, 1)
 
 
-def _forward_tile(loc8, dirs8, w, enc_p, enc_d, cdt):
-    """The tiny-MLP chain for one tile whose points all share one expert."""
-    penc = _encode(loc8, *enc_p)
-    denc = _encode(dirs8, *enc_d)
+def _forward_tile(pts8, w, enc_p, enc_d, cdt):
+    """The tiny-MLP chain for one tile whose points all share one expert.
+
+    ``pts8`` is the combined payload: cols 0-2 voxel-local position, col 3
+    expert-within-group index (multi-expert only), cols 4-6 view direction,
+    col 7 zero. Both encodes read the SAME block — the position encode
+    matrices are nonzero only in rows 0-2 and the direction ones only in
+    rows 4-6, so the MXU contraction does the column selection for free.
+    One payload = ONE input gather on the host side: the dispatch gathers
+    were measured at 12.5 ms of the 22 ms fused forward (three separate
+    row-gathers — gather cost is flat per ROW, not per byte;
+    tools/dissect_kilonerf_fused.py)."""
+    penc = _encode(pts8, *enc_p)
+    denc = _encode(pts8, *enc_d)
     x1 = jax.nn.relu(_mm(penc, w["w1"], cdt) + w["b1"])
     x2 = jax.nn.relu(_mm(x1, w["w2"], cdt) + w["b2"])
     sigma_pre = (
@@ -99,7 +109,7 @@ def _forward_tile(loc8, dirs8, w, enc_p, enc_d, cdt):
                 feat=feat, y=y, rgb8=rgb8), sigma
 
 
-def _fwd_kernel(gid_ref, used_ref, loc_ref, dirs_ref, *refs,
+def _fwd_kernel(gid_ref, used_ref, pts_ref, *refs,
                 cdt, h, p_pad, d_pad):
     enc_refs, w_ref, out_ref = refs[:8], refs[8], refs[9]
     i = pl.program_id(0)
@@ -109,15 +119,14 @@ def _fwd_kernel(gid_ref, used_ref, loc_ref, dirs_ref, *refs,
         enc_p = tuple(r[:] for r in enc_refs[:4])
         enc_d = tuple(r[:] for r in enc_refs[4:])
         w = _pieces(w_ref[0], h, p_pad, d_pad)
-        acts, sigma = _forward_tile(loc_ref[:], dirs_ref[:], w,
-                                    enc_p, enc_d, cdt)
-        tile = loc_ref.shape[0]
+        acts, sigma = _forward_tile(pts_ref[:], w, enc_p, enc_d, cdt)
+        tile = pts_ref.shape[0]
         col = jax.lax.broadcasted_iota(jnp.int32, (tile, 8), 1)
         packed = jnp.where(col == 3, sigma, acts["rgb8"][:, :8])
         out_ref[:] = jnp.where(col > 3, 0.0, packed)
 
 
-def _bwd_kernel(gid_ref, used_ref, loc_ref, dirs_ref, g_ref, *refs,
+def _bwd_kernel(gid_ref, used_ref, pts_ref, g_ref, *refs,
                 cdt, h, p_pad, d_pad):
     enc_refs, w_ref, acc_ref = refs[:8], refs[8], refs[9]
     prec = _matmul_precision(cdt)
@@ -135,10 +144,10 @@ def _bwd_kernel(gid_ref, used_ref, loc_ref, dirs_ref, g_ref, *refs,
         enc_p = tuple(r[:] for r in enc_refs[:4])
         enc_d = tuple(r[:] for r in enc_refs[4:])
         w = _pieces(w_ref[0], h, p_pad, d_pad)
-        loc8, dirs8, g = loc_ref[:], dirs_ref[:], g_ref[:]
-        acts, _ = _forward_tile(loc8, dirs8, w, enc_p, enc_d, cdt)
+        pts8, g = pts_ref[:], g_ref[:]
+        acts, _ = _forward_tile(pts8, w, enc_p, enc_d, cdt)
 
-        tile = loc8.shape[0]
+        tile = pts8.shape[0]
         col = jax.lax.broadcasted_iota(jnp.int32, (tile, 8), 1)
         g_rgb8 = jnp.where(col < 3, g, 0.0)
         g_sigma = jnp.sum(jnp.where(col == 3, g, 0.0), axis=1, keepdims=True)
@@ -226,9 +235,9 @@ def _bwd_kernel(gid_ref, used_ref, loc_ref, dirs_ref, g_ref, *refs,
 #     accumulated gradient hold garbage that the pack transpose simply
 #     never reads (it extracts diagonal blocks).
 #
-# The expert-within-group index rides in column 3 of the (T, 8) local-
-# coordinate input — the encode matmul constants zero that row, so the
-# encoding never sees it.
+# The expert-within-group index rides in column 3 of the (T, 8) combined
+# payload (cols 0-2 local position, 4-6 view direction) — the encode
+# matmul constants zero that row, so the encoding never sees it.
 
 
 def _layout_multi(h: int, p_pad: int, d_pad: int, e: int):
@@ -310,10 +319,10 @@ def _pieces_multi(w, h, p_pad, d_pad, e):
     )
 
 
-def _slot_masks(loc8, h, p_pad, d_pad, e):
-    """Per-point lane masks from the expert index stashed in loc column 3."""
-    tile = loc8.shape[0]
-    e_col = loc8[:, 3:4].astype(jnp.int32)
+def _slot_masks(pts8, h, p_pad, d_pad, e):
+    """Per-point lane masks from the expert index stashed in payload col 3."""
+    tile = pts8.shape[0]
+    e_col = pts8[:, 3:4].astype(jnp.int32)
 
     def mask(width):
         lane = jax.lax.broadcasted_iota(jnp.int32, (tile, e * width), 1)
@@ -324,14 +333,15 @@ def _slot_masks(loc8, h, p_pad, d_pad, e):
     return mask(h), mask(p_pad), mask(d_pad), first
 
 
-def _forward_tile_multi(loc8, dirs8, w, enc_p, enc_d, red8, cdt,
+def _forward_tile_multi(pts8, w, enc_p, enc_d, red8, cdt,
                         h, p_pad, d_pad, e, need_rgb8=True):
-    """Slotted tiny-MLP chain for one tile of E experts' points.
+    """Slotted tiny-MLP chain for one tile of E experts' points; ``pts8``
+    is the combined loc/expert/dir payload (see ``_forward_tile``).
     ``need_rgb8=False`` (the backward recompute, which rebuilds the rgb
     cotangent from ``g`` directly) skips the dead slot-sum dot."""
-    mask_h, mask_p, mask_d, first = _slot_masks(loc8, h, p_pad, d_pad, e)
-    penc = _encode(loc8, *enc_p)                  # (T, p_pad); col-3 zeroed
-    denc = _encode(dirs8, *enc_d)
+    mask_h, mask_p, mask_d, first = _slot_masks(pts8, h, p_pad, d_pad, e)
+    penc = _encode(pts8, *enc_p)                  # (T, p_pad); col-3 zeroed
+    denc = _encode(pts8, *enc_d)
     penc_s = pltpu.repeat(penc, e, axis=1) * mask_p
     denc_s = pltpu.repeat(denc, e, axis=1) * mask_d
     x1 = jax.nn.relu(_mm(penc_s, w["w1"], cdt) + w["b1"])
@@ -360,7 +370,7 @@ def _forward_tile_multi(loc8, dirs8, w, enc_p, enc_d, red8, cdt,
                 mask_h=mask_h, first=first), rgb8, sigma
 
 
-def _fwd_kernel_multi(gid_ref, used_ref, loc_ref, dirs_ref, *refs,
+def _fwd_kernel_multi(gid_ref, used_ref, pts_ref, *refs,
                       cdt, h, p_pad, d_pad, e):
     enc_refs, red_ref, w_ref, out_ref = refs[:8], refs[8], refs[9], refs[10]
     i = pl.program_id(0)
@@ -371,16 +381,16 @@ def _fwd_kernel_multi(gid_ref, used_ref, loc_ref, dirs_ref, *refs,
         enc_d = tuple(r[:] for r in enc_refs[4:])
         w = _pieces_multi(w_ref[0], h, p_pad, d_pad, e)
         _, rgb8, sigma = _forward_tile_multi(
-            loc_ref[:], dirs_ref[:], w, enc_p, enc_d, red_ref[:], cdt,
+            pts_ref[:], w, enc_p, enc_d, red_ref[:], cdt,
             h, p_pad, d_pad, e,
         )
-        tile = loc_ref.shape[0]
+        tile = pts_ref.shape[0]
         col = jax.lax.broadcasted_iota(jnp.int32, (tile, 8), 1)
         packed = jnp.where(col == 3, sigma, rgb8)
         out_ref[:] = jnp.where(col > 3, 0.0, packed)
 
 
-def _bwd_kernel_multi(gid_ref, used_ref, loc_ref, dirs_ref, g_ref, *refs,
+def _bwd_kernel_multi(gid_ref, used_ref, pts_ref, g_ref, *refs,
                       cdt, h, p_pad, d_pad, e):
     enc_refs, red_ref, w_ref, acc_ref = refs[:8], refs[8], refs[9], refs[10]
     prec = _matmul_precision(cdt)
@@ -398,14 +408,14 @@ def _bwd_kernel_multi(gid_ref, used_ref, loc_ref, dirs_ref, g_ref, *refs,
         enc_p = tuple(r[:] for r in enc_refs[:4])
         enc_d = tuple(r[:] for r in enc_refs[4:])
         w = _pieces_multi(w_ref[0], h, p_pad, d_pad, e)
-        loc8, dirs8, g = loc_ref[:], dirs_ref[:], g_ref[:]
+        pts8, g = pts_ref[:], g_ref[:]
         acts, _, _ = _forward_tile_multi(
-            loc8, dirs8, w, enc_p, enc_d, red_ref[:], cdt, h, p_pad, d_pad, e,
+            pts8, w, enc_p, enc_d, red_ref[:], cdt, h, p_pad, d_pad, e,
             need_rgb8=False,
         )
         mask_h = acts["mask_h"]
 
-        tile = loc8.shape[0]
+        tile = pts8.shape[0]
         col = jax.lax.broadcasted_iota(jnp.int32, (tile, 8), 1)
         g_rgb8 = jnp.where(col < 3, g, 0.0)
         g_sigma = jnp.sum(jnp.where(col == 3, g, 0.0), axis=1, keepdims=True)
@@ -512,15 +522,19 @@ def _build_grouped(model, t: int, e_per: int, interpret: bool):
     cdt = jnp.dtype(model.compute_dtype)
     _, pack_rows = _layout_multi(h, p_pad, d_pad, e_per)
 
-    def enc8(num_freqs, pad):
+    def enc8(num_freqs, pad, row0):
+        # combined payload: the position matrices live in rows 0-2 and the
+        # direction ones in rows 4-6, so both encodes contract the SAME
+        # (T, 8) payload block (rows 3 and 7 — expert index / pad — are
+        # zero in both, so neither encoding ever sees them)
         e, s, phase, mask = _enc_consts(num_freqs, 3, pad)
-        pad8 = lambda a: np.pad(a, ((0, 5), (0, 0)))  # 3 rows -> 8 sublanes
+        pad8 = lambda a: np.pad(a, ((row0, 5 - row0), (0, 0)))
         # numpy, not device arrays: closure constants lower without the
         # per-constant D2H fetch (~16 s each on the tunneled TPU)
         return (pad8(e), pad8(s), phase[None, :], mask[None, :])
 
-    enc_args = enc8(model.pos_encoding_dim, p_pad) \
-        + enc8(model.dir_encoding_dim, d_pad)
+    enc_args = enc8(model.pos_encoding_dim, p_pad, 0) \
+        + enc8(model.dir_encoding_dim, d_pad, 4)
     kargs = dict(cdt=cdt, h=h, p_pad=p_pad, d_pad=d_pad)
     if e_per > 1:
         # (lanes, 8) slot-sum matrix: 1 at (e*h + j, j) — with slot-masked
@@ -556,45 +570,44 @@ def _build_grouped(model, t: int, e_per: int, interpret: bool):
     # e_per-slotted layer widths (the E-fold zero padding is real MXU work)
     mm_cols = e_per * (p_pad * h + 4 * h * h + d_pad * h) * e_per
 
-    def _run_fwd(wc, gid, used, loc8, dirs8):
-        nt = loc8.shape[0]
+    def _run_fwd(wc, gid, used, pts8):
+        nt = pts8.shape[0]
         return pl.pallas_call(
             functools.partial(fwd_kernel, **kargs),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(nt // t,),
-                in_specs=[row_spec(8), row_spec(8)] + const_specs
+                in_specs=[row_spec(8)] + const_specs
                 + [pack_spec],
                 out_specs=row_spec(8),
             ),
             out_shape=jax.ShapeDtypeStruct((nt, 8), jnp.float32),
             cost_estimate=pl.CostEstimate(
                 flops=2 * nt * mm_cols,
-                bytes_accessed=nt * 24 * 4,
+                bytes_accessed=nt * 16 * 4,
                 transcendentals=nt * (p_pad + d_pad + 8),
             ),
             compiler_params=comp,
             interpret=interpret,
-        )(gid, used, loc8, dirs8, *consts, wc)
+        )(gid, used, pts8, *consts, wc)
 
     @jax.custom_vjp
-    def fused(wpack, gid, used, loc8, dirs8):
-        return _run_fwd(wpack.astype(cdt), gid, used, loc8, dirs8)
+    def fused(wpack, gid, used, pts8):
+        return _run_fwd(wpack.astype(cdt), gid, used, pts8)
 
-    def fused_fwd(wpack, gid, used, loc8, dirs8):
+    def fused_fwd(wpack, gid, used, pts8):
         wc = wpack.astype(cdt)
-        return _run_fwd(wc, gid, used, loc8, dirs8), (wc, gid, used, loc8,
-                                                      dirs8)
+        return _run_fwd(wc, gid, used, pts8), (wc, gid, used, pts8)
 
     def fused_bwd(res, g):
-        wc, gid, used, loc8, dirs8 = res
-        nt = loc8.shape[0]
+        wc, gid, used, pts8 = res
+        nt = pts8.shape[0]
         gpack = pl.pallas_call(
             functools.partial(bwd_kernel, **kargs),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(nt // t,),
-                in_specs=[row_spec(8), row_spec(8), row_spec(8)]
+                in_specs=[row_spec(8), row_spec(8)]
                 + const_specs + [pack_spec],
                 out_specs=pack_spec,
             ),
@@ -602,15 +615,14 @@ def _build_grouped(model, t: int, e_per: int, interpret: bool):
                                            jnp.float32),
             cost_estimate=pl.CostEstimate(
                 flops=3 * 2 * nt * mm_cols,
-                bytes_accessed=nt * 32 * 4,
+                bytes_accessed=nt * 24 * 4,
                 transcendentals=nt * (p_pad + d_pad + 8),
             ),
             compiler_params=comp,
             interpret=interpret,
-        )(gid, used, loc8, dirs8, g, *consts, wc)
+        )(gid, used, pts8, g, *consts, wc)
         f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
-        return (gpack, f0(gid), f0(used),
-                jnp.zeros_like(loc8), jnp.zeros_like(dirs8))
+        return (gpack, f0(gid), f0(used), jnp.zeros_like(pts8))
 
     fused.defvjp(fused_fwd, fused_bwd)
 
@@ -634,26 +646,25 @@ def _build_grouped(model, t: int, e_per: int, interpret: bool):
             n,
         )
 
-        def to_tiles(x):
-            xs = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)])
-            return jnp.pad(xs[orig_flat], ((0, 0), (0, 5)))
-
-        loc_t = to_tiles(local)
-        if e_per > 1:
-            # expert-within-group index rides in loc column 3 (the encode
-            # constants zero that row); padded slots keep e=0
-            e_pt = jnp.concatenate(
-                [(vid % e_per).astype(jnp.float32),
-                 jnp.zeros((1,), jnp.float32)]
-            )[orig_flat]
-            loc_t = loc_t.at[:, 3].set(e_pt)
-        dir_t = to_tiles(d)
+        # ONE combined-payload gather: cols 0-2 local, col 3 expert index
+        # (zero at e_per=1 — the encode constants zero that row either
+        # way), cols 4-6 dirs, col 7 pad. Row-gathers cost flat per ROW on
+        # TPU, so gathering loc/expert/dir separately tripled the dominant
+        # dispatch cost (12.5 of 22 ms — tools/dissect_kilonerf_fused.py).
+        e_col = (
+            (vid % e_per).astype(jnp.float32)[:, None]
+            if e_per > 1 else jnp.zeros((n, 1), jnp.float32)
+        )
+        pay = jnp.concatenate(
+            [local, e_col, d, jnp.zeros((n, 1), jnp.float32)], axis=1)
+        pay = jnp.concatenate([pay, jnp.zeros((1, 8), pay.dtype)])
+        pts_t = pay[orig_flat]
 
         wpack = pack_params_multi(params, p_pad, d_pad, h, e_per)
         # zero the gradient blocks of groups no tile visited (their HBM
         # output blocks are never written by the backward kernel)
         wpack = _mask_untouched(wpack, counts > 0)
-        out_t = fused(wpack, gid, used, loc_t, dir_t)
+        out_t = fused(wpack, gid, used, pts_t)
         out = _reorder(out_t, orig_flat, n)
         rgb = out[:, :3].reshape(*shape, 3)
         sigma = out[:, 3].reshape(shape)

@@ -112,23 +112,19 @@ def _make_tiles(p):
         n,
     )
 
-    def to_tiles(x):
-        xs = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)])
-        return jnp.pad(xs[orig_flat], ((0, 0), (0, 5)))
-
-    loc_t = to_tiles(local)
-    if e_per > 1:
-        e_pt = jnp.concatenate(
-            [(vid % e_per).astype(jnp.float32), jnp.zeros((1,), jnp.float32)]
-        )[orig_flat]
-        loc_t = loc_t.at[:, 3].set(e_pt)
-    dir_t = to_tiles(dirs)
-    return gid, used, loc_t, dir_t, orig_flat, counts
+    # the combined payload apply() now builds: ONE 8-wide row gather
+    e_col = ((vid % e_per).astype(jnp.float32)[:, None]
+             if e_per > 1 else jnp.zeros((n, 1), jnp.float32))
+    pay = jnp.concatenate(
+        [local, e_col, dirs, jnp.zeros((n, 1), jnp.float32)], axis=1)
+    pay = jnp.concatenate([pay, jnp.zeros((1, 8), pay.dtype)])
+    pts_t = pay[orig_flat]
+    return gid, used, pts_t, orig_flat, counts
 
 
 def gathers_only(p):
-    gid, used, loc_t, dir_t, orig_flat, _ = _make_tiles(p)
-    return jnp.sum(loc_t[0]) + jnp.sum(dir_t[0])
+    gid, used, pts_t, orig_flat, _ = _make_tiles(p)
+    return jnp.sum(pts_t[0])
 
 
 def pack_only(p):
@@ -139,7 +135,7 @@ def pack_only(p):
 # precomputed plan for kernel-only rows
 _plan = jax.jit(_make_tiles)(pts0)
 _plan = jax.tree.map(lambda x: jax.device_put(x), _plan)
-GID, USED, LOC_T, DIR_T, ORIG_FLAT, COUNTS = _plan
+GID, USED, PTS_T, ORIG_FLAT, COUNTS = _plan
 WPACK = jax.jit(
     lambda: fk.pack_params_multi(params, p_pad, d_pad, h, e_per)
 )()
@@ -157,7 +153,7 @@ def apply_bwd(p):
 
 
 def reorder_only(p):
-    out_t = LOC_T * 1.0 + 1e-12 * jnp.sum(p[0])
+    out_t = PTS_T * 1.0 + 1e-12 * jnp.sum(p[0])
     out = fk._reorder(out_t, ORIG_FLAT, N)
     return jnp.sum(out[0])
 
