@@ -420,10 +420,10 @@ _SUITE = [
      {"NERF_TPU_BENCH_MODEL": "plenoxels", "NERF_TPU_BENCH_SAMPLES": "64",
       "NERF_TPU_BENCH_ITERS": "12", "NERF_TPU_BENCH_SCAN": "1"}, 300),
     ("train_ngp",
-     # the hash-table scatter wall makes NGP ~0.5 s/step at 16 samples
-     # (BENCH_NOTES); tiny protocol, per-step dispatch (scan_hostile)
+     # occupancy operating point (16 samples); scan-chunked — NGP is NOT
+     # scan_hostile (round 4: scan-20 measured 1.49x per-step dispatch)
      {"NERF_TPU_BENCH_MODEL": "ngp", "NERF_TPU_BENCH_SAMPLES": "16",
-      "NERF_TPU_BENCH_ITERS": "6", "NERF_TPU_BENCH_SCAN": "1"}, 360),
+      "NERF_TPU_BENCH_ITERS": "5", "NERF_TPU_BENCH_SCAN": "20"}, 360),
     ("render_nerf",
      {"NERF_TPU_BENCH_MODE": "render", "NERF_TPU_BENCH_ITERS": "3"}, 300),
     ("render_plenoxels_dense",

@@ -57,7 +57,14 @@ class NGPModel:
 
     name: str = "ngp"
     eval_gather_bound = True    # hash-table gathers; eval chunks cap at 8k
-    scan_hostile = True         # big table buffers: see plenoxels.py
+    # NOT scan_hostile: round 4 measured scan-20 1.49x FASTER than
+    # per-step dispatch (10.7k vs 7.2k rays/s at 1024x16 on v5e; 2.7k vs
+    # 1.9k at 1024x64). The round-3 flag was set by analogy to plenoxels,
+    # whose multi-hundred-MB grids DON'T alias through lax.scan — NGP's
+    # 67 MB of tables do, and the per-dispatch cost of its ~50-leaf donated
+    # state dominates instead. Plenoxels re-measured this round keeps its
+    # flag (12.9k per-step vs 11.2k scan-4).
+    scan_hostile = False
 
     @property
     def enc_dim(self) -> int:

@@ -103,16 +103,19 @@ def _trilinear_bwd(res, g):
     grad_f = jnp.stack([gfx, gfy, gfz], axis=-1)
 
     # ONE scatter-add for all 8 corners. XLA's TPU scatter costs a flat
-    # ~135 ns/row at this shape no matter how it's phrased — measured on
-    # the v5e (tools/microbench_scatter.py, 524k rows x 28ch -> 128^3):
-    # one 8N-row scatter 70.6 ms, 8 split N-row scatters 70.8 ms (with or
-    # without optimization_barrier), sorted+dedup 104 ms, z-pair window
-    # scatters 2557 ms, collision structure irrelevant (uniform vs
-    # 65536-way duplicated within 5%). A Pallas sorted-window
-    # reformulation (ops/pallas/scatter_add.py) is exact but measured
-    # 57 ms at best — not yet a win. The productive lever is fewer rows:
-    # occupancy-guided training (cfg.occupancy_res) cuts samples ~4x at
-    # equal quality, and scatter cost is linear in samples.
+    # ~130 ns/row at this shape no matter how it's phrased — measured on
+    # the v5e (tools/microbench_scatter.py; 524k rows x 28ch -> 128^3):
+    # one 8N-row call, <=64k-row chunked calls, sorted indices, the
+    # unique_indices/indices_are_sorted flags, bf16 values, and a
+    # sort+segment-sum+unique-row pipeline all land within 65-81 ms;
+    # collision structure is irrelevant. (Round 4 briefly measured
+    # chunked calls 7.5x faster — a harness bug: the scanned timing body
+    # used loop-invariant inputs, so XLA hoisted the op out of the loop.
+    # The microbench now threads the loop carry through the values.)
+    # The Pallas sorted-window reformulation (ops/pallas/scatter_add.py)
+    # is exact but measured 57 ms — still not a win. The productive lever
+    # is fewer rows: occupancy-guided training (cfg.occupancy_res) cuts
+    # samples ~4x at equal quality, and scatter cost is linear in samples.
     grad_flat = jnp.zeros((r * r * r, c), grid.dtype).at[
         jnp.concatenate(scatter_idx)
     ].add(jnp.concatenate(scatter_val))

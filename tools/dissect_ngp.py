@@ -57,29 +57,34 @@ pts = jax.random.uniform(key, (N, 3), minval=-1.0, maxval=1.0)
 dirs = jnp.repeat(rays_d, S, axis=0)
 
 
-def timed(name, body):
+def timed(name, body, k=None):
+    k = K if k is None else k
+
     @jax.jit
     def run(p):
         def step(carry, _):
             s = body(carry)
             return carry + 1e-12 * s, s
 
-        _, ss = jax.lax.scan(step, p, None, length=K)
+        _, ss = jax.lax.scan(step, p, None, length=k)
         return ss[-1]
 
+    t_c = time.perf_counter()
     out = run(pts)
     _ = float(np.asarray(out.reshape(-1)[0]))
+    compile_s = time.perf_counter() - t_c
     t0 = time.perf_counter()
     out = run(pts)
     _ = float(np.asarray(out.reshape(-1)[0]))
-    dt = (time.perf_counter() - t0) / K
-    print(f"{name:24s}: {dt*1e3:8.2f} ms", flush=True)
+    dt = (time.perf_counter() - t0) / k
+    print(f"{name:24s}: {dt*1e3:8.2f} ms   (compile {compile_s:.0f}s)",
+          flush=True)
     return dt
 
 
 def fwd_encode(p):
     enc = model.encode(params["tables"], p)
-    return jnp.sum(enc[0])
+    return jnp.sum(enc)
 
 
 def fwd_apply(p):
@@ -90,14 +95,22 @@ def fwd_apply(p):
 def loss_fn(prms, p):
     out = render_rays(
         lambda pr, x, d: model.apply(pr, x, d),
-        prms, rays_o + 1e-12 * p[0, 0], rays_d, settings,
-        key=jax.random.key(2),
+        prms, rays_o + 1e-12 * p[0, 0], rays_d, jax.random.key(2),
+        settings,
     )
     return jnp.mean((out.rgb - target) ** 2)
 
 
 def fwd_render(p):
     return loss_fn(params, p)
+
+
+def _live(tree):
+    """Reduce EVERY leaf so XLA cannot dead-code-eliminate any gradient.
+    (The first version of this tool returned one scalar slice of one
+    table's grad — XLA then DCE'd 15 of the 16 per-level scatters and
+    'bwd full' read 81 ms while the un-DCE-able real step read 538 ms.)"""
+    return sum(jnp.sum(x) for x in jax.tree.leaves(tree))
 
 
 def bwd_no_tables(p):
@@ -108,12 +121,12 @@ def bwd_no_tables(p):
         return loss_fn(prms, p)
 
     g = jax.grad(f)((params["density"], params["color"]))
-    return g[0][0]["w"][0, 0]
+    return _live(g)
 
 
 def bwd_full(p):
     g = jax.grad(lambda prms: loss_fn(prms, p))(params)
-    return g["tables"][0][0, 0]
+    return _live(g)
 
 
 # precomputed scatter inputs: real indices from the encode of pts
@@ -150,23 +163,57 @@ def scatter_sim(p):
         vals = (WS[lvl][..., None] * g_enc[:, None, :]).reshape(N * 8, F)
         g_tab = jnp.zeros((T_ROWS, F), jnp.float32).at[
             IDXS[lvl].reshape(-1)].add(vals)
-        tot = tot + g_tab[0, 0]
+        tot = tot + jnp.sum(g_tab)
     return tot
 
 
 def adam_update(p):
     g = jax.tree.map(lambda x: x * 0 + 1e-3, params)
     updates, _ = tx.update((g, {}), opt_state, (params, {}))
-    return updates[0]["tables"][0][0, 0] + 1e-12 * p[0, 0]
+    return _live(updates) + 1e-12 * p[0, 0]
+
+
+def grad_plus_adam(p):
+    """grad + optimizer update in ONE program — the real train step's
+    shape (every update leaf kept live; see _live)."""
+    g = jax.grad(lambda prms: loss_fn(prms, p))(params)
+    updates, _ = tx.update((g, {}), opt_state, (params, {}))
+    return _live(updates)
+
+
+def real_step_row():
+    """The actual make_train_step program, chained exactly as bench.py
+    measures it (per-step dispatch, donated state)."""
+    import bench as bench_mod
+
+    step_fn, state, pool = bench_mod._build(R, S, model.compute_dtype,
+                                            True, 1, "ngp")
+    rps, _, compile_s = bench_mod._measure(step_fn, state, pool, R, 5, 1,
+                                           warmup=2)
+    print(f"{'real train step':24s}: {R / rps * 1e3:8.2f} ms   "
+          f"(compile {compile_s:.0f}s)", flush=True)
 
 
 print(f"R={R} S={S} N={N} levels={model.num_levels} "
       f"table=2^{model.log2_table} platform={jax.devices()[0].platform}",
       flush=True)
-timed("fwd encode", fwd_encode)
-timed("fwd apply", fwd_apply)
-timed("fwd render+loss", fwd_render)
-timed("bwd no-tables", bwd_no_tables)
-timed("bwd full", bwd_full)
-timed("scatter sim (16 levels)", scatter_sim)
-timed("adam update", adam_update)
+only = os.environ.get("NGP_ROWS")
+rows = [
+    ("adam update", adam_update, 5),
+    ("fwd encode", fwd_encode, 5),
+    ("fwd apply", fwd_apply, 5),
+    ("scatter sim (16 levels)", scatter_sim, 3),
+    ("fwd render+loss", fwd_render, 3),
+    ("bwd no-tables", bwd_no_tables, 3),
+    ("bwd full", bwd_full, 3),
+    ("grad+adam", grad_plus_adam, 3),
+]
+for name, body, k in rows:
+    if only and name.split()[0] not in only:
+        continue
+    try:
+        timed(name, body, k)
+    except Exception as exc:  # keep later rows alive past one bad program
+        print(f"{name:24s}: ERROR {type(exc).__name__}: {exc}", flush=True)
+if not only or "real" in only:
+    real_step_row()

@@ -47,9 +47,15 @@ val = jax.random.normal(jax.random.key(1), (M, C), jnp.float32)
 
 def timed(name, fn, *args):
     @jax.jit
-    def run(c0, *a):
+    def run(c0, idx_a, val_a, *rest):
         def body(c, i):
-            out = fn(*jax.tree.map(lambda x: x, a))
+            # the values MUST depend on the loop carry: with loop-invariant
+            # inputs XLA hoists the entire op out of the scan and the
+            # harness reads true_time/K (this bug produced round-4's bogus
+            # "chunked scatter is 7.5x faster" reading — in-program
+            # chunking measured no faster than one call)
+            out = fn(idx_a, val_a * (1.0 + c * 1e-30).astype(val_a.dtype),
+                     *rest)
             # chain: fold a scalar of the output into the carry
             return c + jax.tree.leaves(out)[0].ravel()[0], ()
         c, _ = jax.lax.scan(body, c0, jnp.arange(K))
@@ -107,6 +113,72 @@ def sort_segsum(idx, val):
         ends_csum, indices_are_sorted=True)
 
 
+# --- round-4 variants: the unique+sorted lowering question ----------------
+# If XLA's TPU scatter with unique_indices=True AND indices_are_sorted=True
+# runs near gather speed (~6-10 ns/row) instead of the 135 ns/row collision
+# -safe path, then sort -> segment-sum -> unique-row scatter beats the
+# direct scatter for every grid family. These measure that hypothesis.
+
+# irregular unique sorted rows, precomputed (static shape): strides 1..4
+_uidx = jnp.cumsum(
+    jax.random.randint(jax.random.key(7), (M,), 1, 5, jnp.int32)
+) - 1
+
+
+def unique_sorted_scatter(idx, val):
+    """Upper-bound probe: M rows, indices unique AND sorted, both flags."""
+    rows = int(4 * M + 8)
+    return jnp.zeros((rows, C), val.dtype).at[_uidx].add(
+        val, unique_indices=True, indices_are_sorted=True)
+
+
+def unique_unsorted_scatter(idx, val):
+    """unique_indices alone (original corner order is NOT collision-free,
+    so this uses the precomputed unique rows shuffled)."""
+    rows = int(4 * M + 8)
+    return jnp.zeros((rows, C), val.dtype).at[
+        jnp.flip(_uidx)].add(val, unique_indices=True)
+
+
+def sort_dedup_unique_scatter(idx, val):
+    """The real pipeline: sort entries by row, segment-sum runs via
+    cumsum-at-ends, compact the ends with a second sort, then ONE scatter
+    whose indices are provably unique and sorted (padding entries target
+    distinct rows past the real table, sliced off afterwards)."""
+    sidx, perm = jax.lax.sort_key_val(idx, jnp.arange(M, dtype=jnp.int32))
+    sval = jnp.take(val, perm, axis=0)
+    csum = jnp.cumsum(sval, axis=0)
+    is_end = jnp.concatenate([sidx[1:] != sidx[:-1], jnp.ones((1,), bool)])
+    # compact (row, end-cumsum) pairs to the front, in row order: one more
+    # sort on a key that is the row id at ends and +inf elsewhere
+    big = jnp.int32(R * R * R)
+    key2 = jnp.where(is_end, sidx, big)
+    # payload columns: end cumsum + the row id; sort_key_val carries f32
+    perm2 = jax.lax.sort_key_val(key2, jnp.arange(M, dtype=jnp.int32))[1]
+    c_rows = jnp.take(key2, perm2)
+    c_csum = jnp.take(csum, perm2, axis=0)
+    # delta against the previous end's cumsum = the segment sum
+    seg = c_csum - jnp.concatenate(
+        [jnp.zeros((1, C), c_csum.dtype), c_csum[:-1]], axis=0)
+    # padding tail: route to distinct rows past the table (unique+sorted
+    # stays TRUE), slice them off after
+    tail = big + jnp.cumsum((c_rows == big).astype(jnp.int32)) - 1
+    rows_final = jnp.where(c_rows == big, tail, c_rows)
+    out = jnp.zeros((R * R * R + M, C), val.dtype).at[rows_final].add(
+        seg, unique_indices=True, indices_are_sorted=True)
+    return out[: R * R * R]
+
+
+def scatter_chunked(idx, val, chunk):
+    """Same M entries, issued as ceil(M/chunk) sub-scatters: probes whether
+    XLA's TPU scatter has a fast path bounded by rows-per-call (the x8
+    split measured 8.9 ms vs 67.5 for one call — 7.5x — in round 4)."""
+    out = jnp.zeros((R * R * R, C), val.dtype)
+    for k in range(0, M, chunk):
+        out = out.at[idx[k:k + chunk]].add(val[k:k + chunk])
+    return out
+
+
 def sort_only(idx, val):
     sidx, perm = jax.lax.sort_key_val(idx, jnp.arange(M, dtype=jnp.int32))
     return sidx * 0 + perm
@@ -119,12 +191,28 @@ def permute_only(idx, val):
 def main():
     print(f"scatter microbench: {M} rows x {C}ch into {R}^3 grid, K={K}, "
           f"platform={jax.devices()[0].platform}")
+    # correctness of the dedup pipeline before timing it
+    ref = jax.jit(scatter_one)(idx, val)
+    got = jax.jit(sort_dedup_unique_scatter)(idx, val)
+    err = float(jnp.max(jnp.abs(ref - got)))
+    rel = err / float(jnp.max(jnp.abs(ref)))
+    print(f"sort_dedup_unique_scatter max|err| {err:.3e} (rel {rel:.1e})")
+    assert rel < 1e-4, "dedup pipeline disagrees with direct scatter"
+
     timed("scatter (current)", scatter_one, idx, val)
     timed("scatter x8 corners", scatter_eight, idx, val)
     timed("sort_key_val only", sort_only, idx, val)
     timed("permute (row gather) only", permute_only, idx, val)
     timed("sort + sorted scatter", sort_scatter, idx, val)
     timed("bf16 scatter", scatter_one, idx, val.astype(jnp.bfloat16))
+    timed("unique+sorted flags probe", unique_sorted_scatter, idx, val)
+    timed("unique flag, unsorted", unique_unsorted_scatter, idx, val)
+    timed("sort+dedup+unique scatter", sort_dedup_unique_scatter, idx, val)
+    import functools
+
+    for chunk in (16384, 32768, 65536, 131072, 262144):
+        timed(f"scatter chunked {chunk//1024}k",
+              functools.partial(scatter_chunked, chunk=chunk), idx, val)
 
 
 if __name__ == "__main__":

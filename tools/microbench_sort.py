@@ -80,6 +80,13 @@ def run(vid, pts, variant):
         # the tail gather that restores ray order in the real path
         back = sorted_pts[dest]
         return sorted_pts.sum() + back[0, 0]
+    if variant == "packed_single_sort":
+        # grp in [0, G3) and index < N=2^18 pack into one int32 key; a
+        # single-operand lax.sort may beat the two-operand sort_key_val
+        key = vid * jnp.int32(N) + jnp.arange(N, dtype=jnp.int32)
+        skey = jax.lax.sort(key)
+        order = skey % jnp.int32(N)
+        return pts[order].sum() + order[0]
     raise ValueError(variant)
 
 
@@ -98,7 +105,7 @@ def main() -> None:
     print("counting sort == stable argsort: OK")
 
     for variant in ("argsort", "sort_key_val", "count_order",
-                    "count_scatter_rows"):
+                    "count_scatter_rows", "packed_single_sort"):
         r = run(vid, pts, variant)
         r.block_until_ready()
         iters = 30
