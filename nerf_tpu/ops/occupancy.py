@@ -89,6 +89,39 @@ def sigma_field(apply_fn, params):
     return fn
 
 
+def _occ_trilinear(grid: jax.Array, p: jax.Array) -> jax.Array:
+    """Trilinear lookup specialized for the tiny 1-channel occupancy grid.
+
+    ``ops.interp.trilinear``'s (1,1,2,C)-slice pair gathers are the right
+    shape for the 28-channel field grids, but at C=1 the 8-byte slices hit
+    XLA's degenerate tiny-slice gather (~1.6 us/row — one 65k-point lookup
+    measured 413 ms, ~60x the whole S=16 plenoxels grad step it was meant
+    to guide; the same wall as the round-1 "(2,2,2,C) stencil" note in
+    interp.py). Instead gather whole z-COLUMNS — row (x*r+y) holds all r
+    z-values, an ordinary wide-row gather — and do the z-lerp as a lane
+    one-hot contraction. 4 gathers of N rows total, ~3 ms at 65k points.
+
+    ``p`` in [-1, 1]^3; same clamp/corner law as ``interp.trilinear``.
+    """
+    r = grid.shape[0]
+    g2 = grid[..., 0].reshape(r * r, r)
+    x = jnp.clip((p + 1.0) * 0.5 * (r - 1), 0.0, r - 1.0)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, r - 2)
+    f = x - x0
+    lane = jnp.arange(r, dtype=jnp.int32)[None, :]
+    z0 = x0[:, 2:3]
+    zsel = ((lane == z0).astype(grid.dtype) * (1.0 - f[:, 2:3])
+            + (lane == z0 + 1).astype(grid.dtype) * f[:, 2:3])   # (N, r)
+    out = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            w_xy = ((f[:, 0] if dx else 1.0 - f[:, 0])
+                    * (f[:, 1] if dy else 1.0 - f[:, 1]))
+            rows = g2[(x0[:, 0] + dx) * r + (x0[:, 1] + dy)]     # (N, r)
+            out = out + w_xy * jnp.sum(rows * zsel, axis=-1)
+    return out
+
+
 def occupancy_t(
     key: jax.Array,
     occ: OccupancyGrid,
@@ -103,8 +136,6 @@ def occupancy_t(
     """(num_rays, num_samples) monotonic t-values concentrated where the
     occupancy prior is nonzero — the drop-in replacement for
     ``stratified_sample`` in the coarse pass."""
-    from nerf_tpu.ops.pallas.fused_grid import trilinear_rays
-
     num_rays = rays_o.shape[0]
     m = occ.num_bins
     edges = jnp.linspace(near, far, m + 1, dtype=jnp.float32)
@@ -114,9 +145,11 @@ def occupancy_t(
     if normalize:
         pts = normalize_positions(pts, near, far)
     pts = remap_domain(pts, occ.domain)
-    # ray-structured lookup: brick-DMA kernel on coherent eval tiles,
-    # exact gather fallback elsewhere
-    w = trilinear_rays(occ.grid, pts, dtype="bfloat16")[..., 0]
+    # z-column-gather trilinear (see _occ_trilinear): both the brick-DMA
+    # render kernel and the (1,1,2,1)-slice pair gathers measured
+    # 345-413 ms for this ONE 1-channel lookup — ~50x the S=16 grad step
+    # it guides, and the cause of round 3's hanging S=16 profile runs.
+    w = _occ_trilinear(occ.grid, pts.reshape(-1, 3)).reshape(num_rays, m)
     w = jnp.maximum(w, occ.floor)
 
     # sorted stratified quantiles -> monotonic t straight from the CDF

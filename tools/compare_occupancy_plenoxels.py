@@ -32,7 +32,7 @@ HW = int(os.environ.get("HW", 48))
 GRID_RES = int(os.environ.get("GRID_RES", 64))
 
 
-def run(tag: str, root: str, **overrides) -> dict:
+def run(tag: str, root: str, steps: int = STEPS, **overrides) -> dict:
     import jax
 
     from nerf_tpu.config import Config
@@ -42,9 +42,9 @@ def run(tag: str, root: str, **overrides) -> dict:
     cfg = Config(
         dataset_path=root, num_random_rays=1024,
         model_type="plenoxels", grid_res=GRID_RES, learning_rate=1e-2,
-        compute_dtype="bfloat16", num_iters=STEPS,
-        log_interval=max(STEPS // 4, 1), val_interval=STEPS,
-        save_interval=10 * STEPS, save_path=save,
+        compute_dtype="bfloat16", num_iters=steps,
+        log_interval=max(steps // 4, 1), val_interval=steps,
+        save_interval=10 * steps, save_path=save,
         log_dir=os.path.join(save, "logs"), seed=0,
         **overrides,
     )
@@ -67,7 +67,10 @@ def run(tag: str, root: str, **overrides) -> dict:
     from nerf_tpu.utils.metrics import mse_to_psnr
 
     scene = load_scene(cfg)
-    settings = render_settings_from_config(cfg)
+    # score BOTH runs at 64 uniform eval samples: the quality question is
+    # what field the training produced, not how few samples it trained with
+    settings = render_settings_from_config(
+        dataclasses.replace(cfg, num_samples=64))
     settings = dataclasses.replace(
         settings, near=scene.near, far=scene.far,
         white_background=scene.white_background,
@@ -84,10 +87,34 @@ def run(tag: str, root: str, **overrides) -> dict:
     out = eval_render(state.params, state.fine_params, jnp.asarray(ro[0]),
                       jnp.asarray(rd[0]), jax.random.key(9))
     mse = float(np.mean((np.asarray(out.rgb) - val_img) ** 2))
-    return dict(tag=tag, steps=STEPS, wall_s=round(dt, 1),
-                rays_per_sec=round(1024 * STEPS / dt, 1),
-                final_val_psnr=round(float(mse_to_psnr(mse)), 2),
-                **{k: v for k, v in overrides.items()})
+    row = dict(tag=tag, steps=steps, wall_s=round(dt, 1),
+               rays_per_sec=round(1024 * steps / dt, 1),
+               final_val_psnr=round(float(mse_to_psnr(mse)), 2),
+               **{k: v for k, v in overrides.items()})
+
+    if cfg.occupancy_res:
+        # occupancy-CONSISTENT score: the trained system is field + prior
+        # (instant-ngp renders with its occupancy grid too) — bake the
+        # prior from the final field and let the 64-sample eval draw
+        # through it, exactly as fit()'s own validation renders do
+        from nerf_tpu.ops.occupancy import (
+            OccupancyGrid, bake_occupancy, sigma_field)
+
+        occ_domain = model.domain
+        apply_fn = resolve_apply_fn(model, use_pallas=True)
+        grid = jax.jit(lambda p: bake_occupancy(
+            sigma_field(apply_fn, p), grid_res=cfg.occupancy_res,
+            domain=occ_domain, threshold=cfg.occupancy_thresh))(state.params)
+        occ = OccupancyGrid(grid=grid, domain=occ_domain)
+        eval_occ = make_eval_render(
+            model, settings,
+            apply_fn=resolve_apply_fn(model, use_pallas=True),
+            occupancy=occ)
+        out2 = eval_occ(state.params, state.fine_params, jnp.asarray(ro[0]),
+                        jnp.asarray(rd[0]), jax.random.key(9))
+        mse2 = float(np.mean((np.asarray(out2.rgb) - val_img) ** 2))
+        row["final_val_psnr_occ_eval"] = round(float(mse_to_psnr(mse2)), 2)
+    return row
 
 
 def main():
@@ -103,6 +130,10 @@ def main():
             run("dense64", root, num_samples=64),
             run("occ16", root, num_samples=16, occupancy_res=32,
                 occupancy_interval=250),
+            # equal-wall-clock row: occ16 steps are ~4x cheaper, so give
+            # it 4x the steps dense64 got
+            run("occ16_4x_steps", root, steps=4 * STEPS, num_samples=16,
+                occupancy_res=32, occupancy_interval=250),
         ]
     for r in rows:
         print(json.dumps(r), flush=True)

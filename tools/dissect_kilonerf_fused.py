@@ -149,7 +149,10 @@ def apply_bwd(p):
     g = jax.grad(
         lambda pr: jnp.sum(apply_fused(pr, p, dirs)[0])
     )(params)
-    return jnp.sum(g["l1"]["w"][0, 0])
+    # reduce EVERY leaf: returning one scalar slice lets XLA DCE the other
+    # leaves' unpack/pack-VJP glue (the Pallas bwd call itself is a single
+    # un-DCE-able op, so only the XLA-side glue was at risk)
+    return sum(jnp.sum(x) for x in jax.tree.leaves(g))
 
 
 def reorder_only(p):
