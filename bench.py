@@ -37,7 +37,12 @@ the process, the parsed metric is always the headline (round 3 lost its
 headline to exactly this: the suite ran first, a watchdog hit, and a
 mid-suite family row was recorded as the round's number).
 NERF_TPU_BENCH_SUITE=0 forces single-config; any explicit knob does too;
-NERF_TPU_BENCH_SUITE=1 forces the suite even with knobs (tests use this).
+NERF_TPU_BENCH_SUITE=1 forces the suite even with knobs (tests use this) —
+but only in train mode: MODE=render / MODE=dp8cpu are always single-row
+runs (they exist to BE suite subprocesses), so SUITE=1 is ignored there.
+After the family rows, one compact {"rows": {...}} summary line is
+emitted before the final headline re-emit so a truncated log tail still
+carries every row's number.
 """
 
 from __future__ import annotations
@@ -113,23 +118,43 @@ def _build(batch_rays: int, num_samples: int, compute_dtype: str,
         )
 
     pool = make_pool(k)
+    # NERF_TPU_BENCH_OCC=<res>: occupancy-guided sampling at the fit()
+    # operating point (occ_opts matches loop.py; an all-ones prior costs
+    # exactly what a real one does — the inverse-CDF draw is content-
+    # independent, the win is the reduced sample count)
+    occ_res = int(os.environ.get("NERF_TPU_BENCH_OCC", 0))
+    occ_opts = None
+    occ_grid = None
+    if occ_res > 0:
+        from nerf_tpu.models.registry import grid_domain as _gd
+
+        occ_opts = (_gd(cfg), 64, 1e-2)
+        occ_grid = jnp.ones((occ_res, occ_res, occ_res, 1), jnp.float32)
     if steps_per_call > 1:
         step_fn = make_scan_train_step(
             model, tx, settings, batch_rays, jax.random.key(2),
             num_steps=steps_per_call, use_pallas=use_pallas, donate=True,
+            occupancy_opts=occ_opts,
         )
     else:
         step_fn = make_train_step(
             model, tx, settings, batch_rays, jax.random.key(2),
-            use_pallas=use_pallas, donate=True,
+            use_pallas=use_pallas, donate=True, occupancy_opts=occ_opts,
         )
+    if occ_grid is not None:
+        raw_step = step_fn
+        step_fn = lambda state, pool: raw_step(state, pool, occ_grid)
     return step_fn, state, pool
 
 
 def _measure(step_fn, state, pool, batch_rays: int, calls: int,
              steps_per_call: int, warmup: int):
     """Returns (rays_per_sec, state, compile_s) — compile_s is the wall
-    time of the first (compiling) warmup call."""
+    time of the first warmup call (a compile on a cold cache; a disk
+    cache-hit load otherwise — either way the first-call cost a timeout
+    budget must absorb). The first call always runs, so warmup >= 1 is
+    required rather than silently implied."""
+    assert warmup >= 1, "warmup must be >= 1 (the compile call always runs)"
     def fetch(m):
         loss = m["loss"]
         return float(np.asarray(loss if loss.ndim == 0 else loss[-1]))
@@ -286,7 +311,11 @@ def _dp8cpu_mode() -> dict:
         "metric": "dp8cpu_rays_per_sec",
         "value": round(dp_rps, 1),
         "unit": "rays/s",
-        "vs_baseline": round(dp_rps / single_rps, 3),
+        # NOT the suite's fast/porting-baseline ratio — this row's ratio is
+        # dp-step/single-step throughput on a shared-core CPU mesh (a
+        # scale-out overhead canary). Named distinctly so nobody trends the
+        # two meanings under one key (VERDICT r4 weak #7).
+        "dp_over_single": round(dp_rps / single_rps, 3),
         "single_rps": round(single_rps, 1),
         "compile_s": round(compile_single + compile_dp, 1),
         "platform": "cpu",
@@ -399,8 +428,9 @@ def _guard_backend() -> bool:
 # Suite rows: (name, env, timeout_s). Each runs `python bench.py` in a
 # subprocess with these knobs. Timeouts assume the persistent compile
 # cache (utils/platform.py) is warm — tools/tpu_measurements.sh and the
-# verify skill warm it during the round; a cold row that times out only
-# costs its own slot (the headline is already printed and re-emitted).
+# verify skill warm it during the round; on a COLD cache _run_suite
+# scales every timeout (and the budget) 3x so a fresh machine's first
+# run compiles instead of reporting a page of timeouts (ADVICE r4).
 _SUITE = [
     ("train_nerf_hier",
      {"NERF_TPU_BENCH_SAMPLES": "64", "NERF_TPU_BENCH_FINE": "128",
@@ -419,11 +449,25 @@ _SUITE = [
      # scan_hostile trait — scan measures ~15% slower for them)
      {"NERF_TPU_BENCH_MODEL": "plenoxels", "NERF_TPU_BENCH_SAMPLES": "64",
       "NERF_TPU_BENCH_ITERS": "12", "NERF_TPU_BENCH_SCAN": "1"}, 300),
+    ("train_plenoxels_occ",
+     # the measured scatter-wall mitigation (BENCH_NOTES "Grid-family
+     # TRAINING"): occupancy-guided sampling at S=16 — rows (and the
+     # backward scatter) scale linearly in samples. Per-step dispatch
+     # (scan_hostile family); occ prior at the fit() default res.
+     {"NERF_TPU_BENCH_MODEL": "plenoxels", "NERF_TPU_BENCH_SAMPLES": "16",
+      "NERF_TPU_BENCH_OCC": "32", "NERF_TPU_BENCH_ITERS": "12",
+      "NERF_TPU_BENCH_SCAN": "1"}, 300),
     ("train_ngp",
      # occupancy operating point (16 samples); scan-chunked — NGP is NOT
      # scan_hostile (round 4: scan-20 measured 1.49x per-step dispatch)
      {"NERF_TPU_BENCH_MODEL": "ngp", "NERF_TPU_BENCH_SAMPLES": "16",
       "NERF_TPU_BENCH_ITERS": "5", "NERF_TPU_BENCH_SCAN": "20"}, 360),
+    ("train_ngp_s64",
+     # the UNFRIENDLY operating point stays on the record: dense 64
+     # samples hits the 16-level table-grad scatter wall (~538 ms/step,
+     # BENCH_NOTES "NGP train-step dissection")
+     {"NERF_TPU_BENCH_MODEL": "ngp", "NERF_TPU_BENCH_SAMPLES": "64",
+      "NERF_TPU_BENCH_ITERS": "2", "NERF_TPU_BENCH_SCAN": "4"}, 420),
     ("render_nerf",
      {"NERF_TPU_BENCH_MODE": "render", "NERF_TPU_BENCH_ITERS": "3"}, 300),
     ("render_plenoxels_dense",
@@ -457,9 +501,24 @@ def _suite_enabled() -> bool:
     )
 
 
+def _cache_cold() -> bool:
+    """True when the persistent compile cache has no entries — every suite
+    row will then pay a full compile, so timeouts sized for warm-cache runs
+    (ADVICE r4) must be scaled up."""
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_compile_cache")
+    try:
+        return not any(os.scandir(d))
+    except OSError:
+        return True
+
+
 def _run_suite(headline: dict) -> None:
     """Run the family rows, re-emitting the headline after EVERY row so the
-    last stdout line is the headline no matter where a watchdog strikes."""
+    last stdout line is the headline no matter where a watchdog strikes.
+    After the loop, ONE compact {"rows": {...}} summary line carries every
+    row's key numbers so a truncated log tail cannot drop family rows from
+    the round record (VERDICT r4 item 4)."""
     import subprocess
     import sys
 
@@ -467,21 +526,37 @@ def _run_suite(headline: dict) -> None:
     only = os.environ.get("NERF_TPU_BENCH_SUITE_ROWS")
     rows = _SUITE if not only else [
         r for r in _SUITE if r[0] in only.split(",")]
+    # Cold cache => every row compiles from scratch (a gabor compile alone
+    # measured ~900 s in round 2); scale both timeouts and the budget.
+    t_scale = 3.0 if _cache_cold() else 1.0
+    budget_s *= t_scale
+    summary: dict[str, dict] = {}
+
+    def _summarize(row: dict) -> dict:
+        return {k: row[k] for k in
+                ("value", "unit", "vs_baseline", "dp_over_single",
+                 "ms_per_frame", "error") if k in row}
+
     reemit = dict(headline)
     reemit["headline"] = True
     t_start = time.perf_counter()
     for i, (name, env_extra, timeout_s) in enumerate(rows):
+        timeout_s *= t_scale
         if time.perf_counter() - t_start + timeout_s > budget_s:
-            print(json.dumps({"config": name,
-                              "error": "skipped: suite budget spent"}),
-                  flush=True)
+            row = {"config": name, "error": "skipped: suite budget spent"}
+            summary[name] = _summarize(row)
+            print(json.dumps(row), flush=True)
             continue
         if i:
             # back-to-back device claims on the tunneled TPU can hit a
             # FailedPrecondition while the previous holder unwinds
             time.sleep(5)
         env = dict(os.environ)
-        env.update(env_extra)
+        for k, v in env_extra.items():
+            if k == "XLA_FLAGS" and env.get(k):
+                env[k] = env[k] + " " + v  # append, never clobber inherited
+            else:
+                env[k] = v
         env["NERF_TPU_BENCH_SUITE"] = "0"
         env.setdefault("NERF_TPU_BENCH_SKIP_PROBE", "1")
         try:
@@ -502,16 +577,17 @@ def _run_suite(headline: dict) -> None:
             if r.returncode == 0 and line:
                 row = json.loads(line)
                 row["config"] = name
-                print(json.dumps(row), flush=True)
             else:
-                print(json.dumps({
-                    "config": name, "error": f"rc={r.returncode}",
-                    "stderr_tail": r.stderr[-300:],
-                }), flush=True)
+                row = {"config": name, "error": f"rc={r.returncode}",
+                       "stderr_tail": r.stderr[-300:]}
         except subprocess.TimeoutExpired:
-            print(json.dumps({"config": name,
-                              "error": f"timeout>{timeout_s}s"}), flush=True)
+            row = {"config": name, "error": f"timeout>{timeout_s:.0f}s"}
+        summary[name] = _summarize(row)
+        print(json.dumps(row), flush=True)
         print(json.dumps(reemit), flush=True)
+    # the all-rows record, immediately before the final headline re-emit
+    print(json.dumps({"rows": summary}), flush=True)
+    print(json.dumps(reemit), flush=True)
 
 
 def main() -> None:

@@ -53,13 +53,22 @@ def test_suite_emits_config_rows(monkeypatch, capsys):
     lines = [ln for ln in capsys.readouterr().out.splitlines()
              if ln.startswith("{")]
     rows = [json.loads(ln) for ln in lines]
-    by_name = {r["config"]: r for r in rows if not r.get("headline")}
+    by_name = {r["config"]: r for r in rows
+               if not r.get("headline") and "config" in r}
     assert set(by_name) == {"tiny_render", "broken"}
     assert by_name["tiny_render"]["metric"] == "render_rays_per_sec"
     assert by_name["tiny_render"]["value"] > 0
     assert "error" in by_name["broken"]
     # the headline is re-emitted after EVERY row (watchdog-proof record),
-    # so the last JSON line is always the headline
+    # plus once after the all-rows summary line
     reemits = [r for r in rows if r.get("headline")]
-    assert len(reemits) == 2
+    assert len(reemits) == 3
     assert json.loads(lines[-1]).get("headline")
+    # ONE compact summary line carries every row's key numbers so a
+    # truncated log tail can't drop family rows from the round record
+    summaries = [r for r in rows if "rows" in r]
+    assert len(summaries) == 1
+    summ = summaries[0]["rows"]
+    assert set(summ) == {"tiny_render", "broken"}
+    assert summ["tiny_render"]["value"] > 0
+    assert "error" in summ["broken"]
