@@ -81,9 +81,23 @@ def _rep(per_ray, s: int):
     return jnp.broadcast_to(per_ray[:, None, :], (tr, s, f)).reshape(tr * s, f)
 
 
-def _per_ray_sum(g8, per_sample):
-    """Sum per-sample rows (TB, F) into per-ray rows (TR, F). HIGHEST keeps
-    the one-hot contraction f32-accurate (default would round to bf16)."""
+def _per_ray_sum(g8, per_sample, cdt=None):
+    """Sum per-sample rows (TB, F) into per-ray rows (TR, F).
+
+    float32 mode: HIGHEST keeps the one-hot contraction f32-exact (the
+    default single bf16 pass would round the compositing sums). bfloat16
+    mode: a hi/lo split 2-pass — the 0/1 selector is bf16-exact and
+    per_sample travels as bf16 hi + bf16 residual (~2^-16 relative error,
+    far below the bf16 matmul noise already in its inputs) at 1/3 the
+    passes of HIGHEST (measured ~0.05 ms/step, round-5 ablation ledger)."""
+    if cdt is not None and jnp.dtype(cdt) == jnp.bfloat16:
+        hi = per_sample.astype(jnp.bfloat16)
+        lo = (per_sample - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        g8b = g8.astype(jnp.bfloat16)
+        dot = lambda b: jax.lax.dot_general(
+            g8b, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dot(hi) + dot(lo)
     return jax.lax.dot_general(
         g8, per_sample, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=HIGHEST,
@@ -128,22 +142,24 @@ def _point_cols_from_t(t_tile, s: int, inf_delta: float = 1e10):
     Feeding t/deltas as (N,1) HBM columns costs XLA a lane->sublane relayout
     (~1.2 ms per 6 MB chunk measured on v5e — 11% of a 400x400 render); the
     in-kernel expand+select is a few VPU ops per element. Deltas are
-    t[i+1]-t[i] with the reference's 1e10 tail (rendering.py:54-57)."""
+    t[i+1]-t[i] with the reference's 1e10 tail (rendering.py:54-57) —
+    derived from the t COLUMN by one sublane roll (t[i+1] lives one sublane
+    down within the segment; the segment tail is masked to the 1e10 value),
+    so only t pays the (TR,S)->(TB,1) one-hot select. The second select
+    measured ~0.05 ms/step of the round-5 ablation ledger."""
     tr = t_tile.shape[0]
     assert t_tile.shape[1] == s
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tr, s), 1)
-    rolled = pltpu.roll(t_tile, s - 1, 1)          # t[i+1] at lane i
-    d_tile = jnp.where(lane == s - 1, inf_delta, rolled - t_tile)
-
-    srow = jax.lax.broadcasted_iota(jnp.int32, (tr * s, s), 0) % s
-    lane2 = jax.lax.broadcasted_iota(jnp.int32, (tr * s, s), 1)
+    tb = tr * s
+    srow = jax.lax.broadcasted_iota(jnp.int32, (tb, s), 0) % s
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (tb, s), 1)
     sel = lane2 == srow
 
-    def to_col(mat):
-        return jnp.sum(jnp.where(sel, _rep(mat, s), 0.0), axis=1,
-                       keepdims=True)
-
-    return to_col(t_tile), to_col(d_tile)
+    t_col = jnp.sum(jnp.where(sel, _rep(t_tile, s), 0.0), axis=1,
+                    keepdims=True)
+    pos = _seg_pos(tb, s)
+    t_next = pltpu.roll(t_col, tb - 1, 0)          # t[i+1] at row i
+    d_col = jnp.where(pos == s - 1, inf_delta, t_next - t_col)
+    return t_col, d_col
 
 
 def _field_tile(oE, oS, dE, dS, denc_r, t, s, w, enc_p_phase, enc_p_mask, cdt):
@@ -158,12 +174,15 @@ def _field_tile(oE, oS, dE, dS, denc_r, t, s, w, enc_p_phase, enc_p_mask, cdt):
     return _mlp_tile(penc, denc, w, cdt)
 
 
-def _composite_tile(acts, sigma, t, delta, g8, tb, tr, s):
+_exp = jnp.exp  # module-level alias so measurement tools can ablate it
+
+
+def _composite_tile(acts, sigma, t, delta, g8, tb, tr, s, cdt=None):
     """Transmittance + weights + per-ray sums for one tile.
 
     Returns (ray_out (TR,8): rgb,acc,depth,0..., w_col, T_col, alpha helpers).
     """
-    one_m = jnp.exp(-sigma * delta)             # = 1 - alpha, exactly
+    one_m = _exp(-sigma * delta)                # = 1 - alpha, exactly
     alpha = 1.0 - one_m
     T_col = _seg_excl_cumprod_col(one_m, s)
     w_col = T_col * alpha
@@ -175,7 +194,7 @@ def _composite_tile(acts, sigma, t, delta, g8, tb, tr, s):
         + jnp.where(col8 == 3, w_col, 0.0)
         + jnp.where(col8 == 4, w_col * t, 0.0)
     )
-    ray_out = _per_ray_sum(g8, stat)            # (TR, 8)
+    ray_out = _per_ray_sum(g8, stat, cdt)       # (TR, 8)
     return ray_out, w_col, T_col, one_m
 
 
@@ -212,7 +231,8 @@ def _fwd_kernel(*refs, cdt, s, tr, slot):
         oE_r[:][:tr], oS_r[:][:tr], dE_r[:][:tr], dS_r[:][:tr],
         denc_r[:][:tr], t, s, w, pphase_r[:], pmask_r[:], cdt,
     )
-    ray_out, w_col, _, _ = _composite_tile(acts, sigma, t, delta, g8, tb, tr, s)
+    ray_out, w_col, _, _ = _composite_tile(acts, sigma, t, delta, g8, tb,
+                                           tr, s, cdt)
     if slot != tr:
         ray_out = jnp.pad(ray_out, ((0, slot - tr), (0, 0)))
     out_ref[:] = ray_out
@@ -239,7 +259,7 @@ def _bwd_kernel(*refs, cdt, s, tr, slot, num_w):
         denc_r[:][:tr], t, s, w, pphase_r[:], pmask_r[:], cdt,
     )
     _, w_col, T_col, one_m = _composite_tile(
-        acts, sigma, t, delta, g8, tb, tr, s
+        acts, sigma, t, delta, g8, tb, tr, s, cdt
     )
 
     g_rgb8, g_sigma = _composite_bwd(
@@ -317,7 +337,7 @@ def _train_kernel(*refs, cdt, s, tr, slot, num_w, white_bg, scale, num_valid):
         denc_r[:][:tr], t, s, w, pphase_r[:], pmask_r[:], cdt,
     )
     ray_out, w_col, T_col, one_m = _composite_tile(
-        acts, sigma, t, delta, g8, tb, tr, s
+        acts, sigma, t, delta, g8, tb, tr, s, cdt
     )
 
     loss_tile, g_ray = _mse_cotangent(

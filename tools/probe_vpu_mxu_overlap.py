@@ -118,20 +118,27 @@ def build(variant):
 def measure(variant, iters=20, warmup=3):
     ws = [jax.random.normal(jax.random.key(i), (H, H), jnp.bfloat16) * 0.05
           for i in range(L)]
-    x = jax.random.normal(jax.random.key(90), (N, H), jnp.float32)
-    y = jax.random.normal(jax.random.key(91), (N, E), jnp.float32)
+    x0 = jax.random.normal(jax.random.key(90), (N, H), jnp.float32)
+    y0 = jax.random.normal(jax.random.key(91), (N, E), jnp.float32)
     f = build(variant)
+
+    # Chain through a SCALAR tap so iteration i+1 depends on i's outputs
+    # without value drift (a relu matmul chain fed back to itself collapses
+    # or blows up, and degenerate values corrupt the comparison).
+    @jax.jit
+    def step(x, y, xb, yb):
+        ox, oy = f(x, y, *ws)
+        tap = ox[0, 0] * 1e-30 + oy[0, 0] * 1e-30
+        return xb + tap, yb + tap, tap
+
+    x, y = x0, y0
     for _ in range(warmup):
-        x_, y_ = f(x, y, *ws)
-        # chain: outputs feed the next call
-        x, y = x_ * 0.999, y_[:, :E] * 0.999
-    float(np.asarray(x[0, 0]))
+        x, y, tap = step(x, y, x0, y0)
+    float(np.asarray(tap))
     t0 = time.perf_counter()
     for _ in range(iters):
-        x, y = f(x, y, *ws)
-        x = x * 0.999
-        y = y * 0.999
-    float(np.asarray(x[0, 0]) + np.asarray(y[0, 0]))
+        x, y, tap = step(x, y, x0, y0)
+    float(np.asarray(tap))
     dt = (time.perf_counter() - t0) / iters
     mm_fl = 2 * N * H * H * (L if variant in ("mxu", "indep") else
                              (L - 1 if variant in ("dep", "dep2") else 0))
