@@ -70,9 +70,19 @@ def build_dispatch(vid: jax.Array, g3: int, t: int):
     with num_tiles = ceil(n/t) + g3 (static upper bound; surplus tiles are
     pure padding on the last group with zero valid slots).
     """
-    n = vid.shape[0]
     order = jnp.argsort(vid)                     # stable (ties by index)
-    svid = vid[order]
+    gid, src, valid, counts = dispatch_plan_sorted(vid[order], g3, t)
+    return order, gid, src, valid, counts
+
+
+def dispatch_plan_sorted(svid: jax.Array, g3: int, t: int):
+    """The plan half of ``build_dispatch`` given ALREADY-SORTED ids —
+    callers that carry point payloads through the sort themselves (one
+    multi-operand ``lax.sort``, ~2.8 ms cheaper than sort + a separate
+    (tiles*t, 8) payload gather at the 262k-point shape — round 5,
+    tools/probe_kilonerf_glue.py) reuse the plan without a second sort.
+    ``src`` indexes rows of the SORTED array."""
+    n = svid.shape[0]
     starts = jnp.searchsorted(
         svid, jnp.arange(g3, dtype=svid.dtype), side="left"
     )
@@ -89,7 +99,7 @@ def build_dispatch(vid: jax.Array, g3: int, t: int):
     slot = tile_rank[:, None] * t + jnp.arange(t, dtype=jnp.int32)[None, :]
     valid = slot < counts[gid][:, None]
     src = jnp.where(valid, starts[gid][:, None] + slot, n)
-    return order, gid, src, valid, counts
+    return gid, src, valid, counts
 
 
 @dataclass(frozen=True)

@@ -78,135 +78,6 @@ def _pieces(w, h, p_pad, d_pad):
     return _pieces_multi(w, h, p_pad, d_pad, 1)
 
 
-def _forward_tile(pts8, w, enc_p, enc_d, cdt):
-    """The tiny-MLP chain for one tile whose points all share one expert.
-
-    ``pts8`` is the combined payload: cols 0-2 voxel-local position, col 3
-    expert-within-group index (multi-expert only), cols 4-6 view direction,
-    col 7 zero. Both encodes read the SAME block — the position encode
-    matrices are nonzero only in rows 0-2 and the direction ones only in
-    rows 4-6, so the MXU contraction does the column selection for free.
-    One payload = ONE input gather on the host side: the dispatch gathers
-    were measured at 12.5 ms of the 22 ms fused forward (three separate
-    row-gathers — gather cost is flat per ROW, not per byte;
-    tools/dissect_kilonerf_fused.py)."""
-    penc = _encode(pts8, *enc_p)
-    denc = _encode(pts8, *enc_d)
-    x1 = jax.nn.relu(_mm(penc, w["w1"], cdt) + w["b1"])
-    x2 = jax.nn.relu(_mm(x1, w["w2"], cdt) + w["b2"])
-    sigma_pre = (
-        jnp.sum(x2 * w["wts"].astype(jnp.float32), axis=1, keepdims=True)
-        + w["bts"][:, :1]
-    )
-    sigma = jax.nn.relu(sigma_pre)
-    feat = _mm(x2, w["wtf"], cdt) + w["btf"]
-    y = jax.nn.relu(
-        _mm(feat, w["wr1f"], cdt) + _mm(denc, w["wr1d"], cdt) + w["br1"]
-    )
-    # wr2 is column-padded to h; only the first 3 rgb columns are real
-    rgb8 = jax.nn.sigmoid(_mm(y, w["wr2"], cdt) + w["br2"])
-    return dict(penc=penc, denc=denc, x1=x1, x2=x2, sigma_pre=sigma_pre,
-                feat=feat, y=y, rgb8=rgb8), sigma
-
-
-def _fwd_kernel(gid_ref, used_ref, pts_ref, *refs,
-                cdt, h, p_pad, d_pad):
-    enc_refs, w_ref, out_ref = refs[:8], refs[8], refs[9]
-    i = pl.program_id(0)
-
-    @pl.when(i < used_ref[0])
-    def _body():
-        enc_p = tuple(r[:] for r in enc_refs[:4])
-        enc_d = tuple(r[:] for r in enc_refs[4:])
-        w = _pieces(w_ref[0], h, p_pad, d_pad)
-        acts, sigma = _forward_tile(pts_ref[:], w, enc_p, enc_d, cdt)
-        tile = pts_ref.shape[0]
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile, 8), 1)
-        packed = jnp.where(col == 3, sigma, acts["rgb8"][:, :8])
-        out_ref[:] = jnp.where(col > 3, 0.0, packed)
-
-
-def _bwd_kernel(gid_ref, used_ref, pts_ref, g_ref, *refs,
-                cdt, h, p_pad, d_pad):
-    enc_refs, w_ref, acc_ref = refs[:8], refs[8], refs[9]
-    prec = _matmul_precision(cdt)
-    offs, _ = _layout(h, p_pad, d_pad)
-    i = pl.program_id(0)
-    prev = gid_ref[jnp.maximum(i - 1, 0)]
-    first_of_group = jnp.logical_or(i == 0, gid_ref[i] != prev)
-
-    @pl.when(jnp.logical_and(first_of_group, i < used_ref[0]))
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    @pl.when(i < used_ref[0])
-    def _body():
-        enc_p = tuple(r[:] for r in enc_refs[:4])
-        enc_d = tuple(r[:] for r in enc_refs[4:])
-        w = _pieces(w_ref[0], h, p_pad, d_pad)
-        pts8, g = pts_ref[:], g_ref[:]
-        acts, _ = _forward_tile(pts8, w, enc_p, enc_d, cdt)
-
-        tile = pts8.shape[0]
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile, 8), 1)
-        g_rgb8 = jnp.where(col < 3, g, 0.0)
-        g_sigma = jnp.sum(jnp.where(col == 3, g, 0.0), axis=1, keepdims=True)
-        g_rgb = jnp.pad(g_rgb8[:, :8], ((0, 0), (0, h - 8))) \
-            if h > 8 else g_rgb8[:, :h]
-
-        def mmT(a, dz):
-            return jax.lax.dot_general(
-                a.astype(cdt), dz.astype(cdt),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-
-        def dact(dz, wname):
-            return jax.lax.dot_general(
-                dz.astype(cdt), w[wname],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-
-        def acc_mat(name, val):
-            r0, _ = offs[name]
-            acc_ref[0, r0:r0 + val.shape[0]] += val
-
-        def acc_row(idx, dz):
-            s = jnp.sum(dz, axis=0, keepdims=True)
-            if s.shape[1] < h:
-                s = jnp.pad(s, ((0, 0), (0, h - s.shape[1])))
-            acc_ref[0, offs["extras"][0] + idx:offs["extras"][0] + idx + 1] += s
-
-        rgb8 = acts["rgb8"]
-        dzr2 = g_rgb * rgb8 * (1.0 - rgb8)
-        acc_mat("wr2", mmT(acts["y"], dzr2))
-        acc_row(5, dzr2)
-        dy = dact(dzr2, "wr2")
-
-        dzy = dy * (acts["y"] > 0)
-        acc_mat("wr1f", mmT(acts["feat"], dzy))
-        acc_mat("wr1d", mmT(acts["denc"], dzy))
-        acc_row(4, dzy)
-        dfeat = dact(dzy, "wr1f")
-
-        dsig = g_sigma * (acts["sigma_pre"] > 0)
-        acc_mat("wtf", mmT(acts["x2"], dfeat))
-        acc_row(3, dfeat)
-        acc_row(0, acts["x2"] * dsig)   # wts grad: sum over the tile
-        acc_row(6, dsig)
-
-        dx2 = dact(dfeat, "wtf") + dsig * w["wts"].astype(jnp.float32)
-        dz2 = dx2 * (acts["x2"] > 0)
-        acc_mat("w2", mmT(acts["x1"], dz2))
-        acc_row(2, dz2)
-        dx1 = dact(dz2, "w2")
-
-        dz1 = dx1 * (acts["x1"] > 0)
-        acc_mat("w1", mmT(acts["penc"], dz1))
-        acc_row(1, dz1)
-
-
 # --------------------------------------------------- multi-expert (E per step)
 #
 # The single-expert kernel is MXU-LATENCY-bound, not throughput-bound: its
@@ -370,108 +241,161 @@ def _forward_tile_multi(pts8, w, enc_p, enc_d, red8, cdt,
                 mask_h=mask_h, first=first), rgb8, sigma
 
 
-def _fwd_kernel_multi(gid_ref, used_ref, pts_ref, *refs,
-                      cdt, h, p_pad, d_pad, e):
-    enc_refs, red_ref, w_ref, out_ref = refs[:8], refs[8], refs[9], refs[10]
-    i = pl.program_id(0)
+def _bwd_tile_multi(pts8, g, w, acc_ref, red8, enc_p, enc_d, cdt,
+                    h, p_pad, d_pad, e, offs, prec):
+    """Backward of the slotted tiny-MLP chain for one (tile, weight-block)
+    pair: recompute the forward, push the masked cotangent ``g`` back, and
+    accumulate every weight/bias gradient into ``acc_ref`` (VMEM). Rows
+    whose cotangent is zero (the other group\'s rows in a mixed tile, or
+    dummy rows) contribute exactly zero to every accumulator — all terms
+    are products with dz rows."""
+    acts, _, _ = _forward_tile_multi(
+        pts8, w, enc_p, enc_d, red8, cdt, h, p_pad, d_pad, e,
+        need_rgb8=False,
+    )
+    mask_h = acts["mask_h"]
 
-    @pl.when(i < used_ref[0])
-    def _body():
-        enc_p = tuple(r[:] for r in enc_refs[:4])
-        enc_d = tuple(r[:] for r in enc_refs[4:])
+    tile = pts8.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, 8), 1)
+    g_rgb8 = jnp.where(col < 3, g, 0.0)
+    g_sigma = jnp.sum(jnp.where(col == 3, g, 0.0), axis=1, keepdims=True)
+    g_rgb = jnp.pad(g_rgb8, ((0, 0), (0, h - 8))) if h > 8 else g_rgb8[:, :h]
+    g_rgb_s = pltpu.repeat(g_rgb, e, axis=1) * mask_h  # slot-pure
+
+    def mmT(a, dz):
+        return jax.lax.dot_general(
+            a.astype(cdt), dz.astype(cdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    def dact(dz, wname):
+        return jax.lax.dot_general(
+            dz.astype(cdt), w[wname],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    def acc_mat(name, val):
+        r0, _ = offs[name]
+        acc_ref[0, r0:r0 + val.shape[0]] += val
+
+    def acc_row(idx, dz):
+        s = jnp.sum(dz, axis=0, keepdims=True)
+        acc_ref[0, offs["extras"][0] + idx:offs["extras"][0] + idx + 1] += s
+
+    rgb_s = acts["rgb_s"]
+    dzr2 = g_rgb_s * rgb_s * (1.0 - rgb_s)
+    acc_mat("wr2", mmT(acts["y"], dzr2))
+    acc_row(5, dzr2)
+    dy = dact(dzr2, "wr2")
+
+    dzy = dy * (acts["y"] > 0)
+    acc_mat("wr1f", mmT(acts["feat"], dzy))
+    acc_mat("wr1d", mmT(acts["denc_s"], dzy))
+    acc_row(4, dzy)
+    dfeat = dact(dzy, "wr1f")
+
+    dsig = g_sigma * (acts["sigma_pre"] > 0)
+    acc_mat("wtf", mmT(acts["x2"], dfeat))
+    acc_row(3, dfeat)
+    acc_row(0, acts["x2"] * dsig * mask_h)  # wts grad, slot-masked
+    acc_row(6, acts["first"] * dsig)        # bts grad at lane e*h
+
+    dx2 = dact(dfeat, "wtf") \
+        + dsig * w["wts"].astype(jnp.float32) * mask_h
+    dz2 = dx2 * (acts["x2"] > 0)
+    acc_mat("w2", mmT(acts["x1"], dz2))
+    acc_row(2, dz2)
+    dx1 = dact(dz2, "w2")
+
+    dz1 = dx1 * (acts["x1"] > 0)
+    acc_mat("w1", mmT(acts["penc_s"], dz1))
+    acc_row(1, dz1)
+
+
+# ------------------------------------------------- mixed-tile dispatch (r5)
+#
+# Tiles read the SORTED payload array directly: tile i = rows [i*t, (i+1)*t)
+# of the by-group sort. There are no per-group tile alignments, so no src/
+# valid plan arrays, no tile-slot gather, and no surplus tiles — the entire
+# dispatch becomes ONE multi-operand lax.sort (key = group, payload = the
+# 8 point columns + original index) plus two strided slices for the per-tile
+# group ids. A tile can straddle a group boundary; appending t dummy rows
+# per group before the sort guarantees every group segment is >= t rows
+# long, so ANY t-row window touches AT MOST TWO groups (a window of length
+# t cannot fully contain a >= t segment plus rows of two neighbors). The
+# kernel therefore runs on at most two weight blocks per tile:
+#
+#   glo[i] = sorted_grp[i*t]        (always evaluated)
+#   ghi[i] = sorted_grp[(i+1)*t-1]  (second pass only when != glo[i])
+#
+# with per-row selection by the group-id payload column (col 7 — the encode
+# constants zero that row, so it never leaks into the features). Boundary
+# tiles pay a second tiny-MLP pass (~12% of tiles at the training shape);
+# pure tiles skip it via @pl.when. The backward keeps one gradient
+# accumulator per pass (acc_lo/acc_hi, VMEM-resident across each group\'s
+# consecutive tile run, block-initialized on first occurrence of the output
+# index); groups that never appear as ghi have their acc_hi block masked
+# outside (uninitialized HBM). Dummy/padding rows carry zero cotangents
+# (the un-sort pads them with zeros), so they add exactly zero gradient.
+
+
+def _fwd_kernel_mx(glo_ref, ghi_ref, pts_ref, *refs, cdt, h, p_pad, d_pad, e):
+    enc_refs, red_ref = refs[:8], refs[8]
+    wlo_ref, whi_ref, out_ref = refs[9], refs[10], refs[11]
+    i = pl.program_id(0)
+    enc_p = tuple(r[:] for r in enc_refs[:4])
+    enc_d = tuple(r[:] for r in enc_refs[4:])
+    pts8 = pts_ref[:]
+    tile = pts8.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, 8), 1)
+    grp_col = pts8[:, 7:8]
+
+    def field(w_ref):
         w = _pieces_multi(w_ref[0], h, p_pad, d_pad, e)
         _, rgb8, sigma = _forward_tile_multi(
-            pts_ref[:], w, enc_p, enc_d, red_ref[:], cdt,
-            h, p_pad, d_pad, e,
+            pts8, w, enc_p, enc_d, red_ref[:], cdt, h, p_pad, d_pad, e,
         )
-        tile = pts_ref.shape[0]
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile, 8), 1)
         packed = jnp.where(col == 3, sigma, rgb8)
-        out_ref[:] = jnp.where(col > 3, 0.0, packed)
+        return jnp.where(col > 3, 0.0, packed)
+
+    mask_lo = (grp_col == glo_ref[i].astype(jnp.float32)).astype(jnp.float32)
+    out_ref[:] = field(wlo_ref) * mask_lo
+
+    @pl.when(ghi_ref[i] != glo_ref[i])
+    def _hi():
+        out_ref[:] += field(whi_ref) * (1.0 - mask_lo)
 
 
-def _bwd_kernel_multi(gid_ref, used_ref, pts_ref, g_ref, *refs,
-                      cdt, h, p_pad, d_pad, e):
-    enc_refs, red_ref, w_ref, acc_ref = refs[:8], refs[8], refs[9], refs[10]
+def _bwd_kernel_mk(gid_ref, pts_ref, g_ref, *refs,
+                   cdt, h, p_pad, d_pad, e):
+    """Single-pass backward over tiles assigned to ONE group each
+    (``gid_ref[i]``): rows of a mixed tile belonging to another group are
+    masked to zero cotangent in-kernel (payload col 7 carries the group
+    id), so every accumulator term they touch is exactly zero. Gradient
+    blocks accumulate in VMEM across each group's consecutive tile run
+    (gid must be non-decreasing) and spill once per group."""
+    enc_refs, red_ref = refs[:8], refs[8]
+    w_ref, acc_ref = refs[9], refs[10]
     prec = _matmul_precision(cdt)
     offs, _ = _layout_multi(h, p_pad, d_pad, e)
     i = pl.program_id(0)
     prev = gid_ref[jnp.maximum(i - 1, 0)]
-    first_of_group = jnp.logical_or(i == 0, gid_ref[i] != prev)
 
-    @pl.when(jnp.logical_and(first_of_group, i < used_ref[0]))
+    @pl.when(jnp.logical_or(i == 0, gid_ref[i] != prev))
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(i < used_ref[0])
-    def _body():
-        enc_p = tuple(r[:] for r in enc_refs[:4])
-        enc_d = tuple(r[:] for r in enc_refs[4:])
-        w = _pieces_multi(w_ref[0], h, p_pad, d_pad, e)
-        pts8, g = pts_ref[:], g_ref[:]
-        acts, _, _ = _forward_tile_multi(
-            pts8, w, enc_p, enc_d, red_ref[:], cdt, h, p_pad, d_pad, e,
-            need_rgb8=False,
-        )
-        mask_h = acts["mask_h"]
-
-        tile = pts8.shape[0]
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile, 8), 1)
-        g_rgb8 = jnp.where(col < 3, g, 0.0)
-        g_sigma = jnp.sum(jnp.where(col == 3, g, 0.0), axis=1, keepdims=True)
-        g_rgb = jnp.pad(g_rgb8, ((0, 0), (0, h - 8))) if h > 8 else g_rgb8
-        g_rgb_s = pltpu.repeat(g_rgb, e, axis=1) * mask_h  # slot-pure
-
-        def mmT(a, dz):
-            return jax.lax.dot_general(
-                a.astype(cdt), dz.astype(cdt),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-
-        def dact(dz, wname):
-            return jax.lax.dot_general(
-                dz.astype(cdt), w[wname],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-
-        def acc_mat(name, val):
-            r0, _ = offs[name]
-            acc_ref[0, r0:r0 + val.shape[0]] += val
-
-        def acc_row(idx, dz):
-            s = jnp.sum(dz, axis=0, keepdims=True)
-            acc_ref[0, offs["extras"][0] + idx:offs["extras"][0] + idx + 1] += s
-
-        rgb_s = acts["rgb_s"]
-        dzr2 = g_rgb_s * rgb_s * (1.0 - rgb_s)
-        acc_mat("wr2", mmT(acts["y"], dzr2))
-        acc_row(5, dzr2)
-        dy = dact(dzr2, "wr2")
-
-        dzy = dy * (acts["y"] > 0)
-        acc_mat("wr1f", mmT(acts["feat"], dzy))
-        acc_mat("wr1d", mmT(acts["denc_s"], dzy))
-        acc_row(4, dzy)
-        dfeat = dact(dzy, "wr1f")
-
-        dsig = g_sigma * (acts["sigma_pre"] > 0)
-        acc_mat("wtf", mmT(acts["x2"], dfeat))
-        acc_row(3, dfeat)
-        acc_row(0, acts["x2"] * dsig * mask_h)  # wts grad, slot-masked
-        acc_row(6, acts["first"] * dsig)        # bts grad at lane e*h
-
-        dx2 = dact(dfeat, "wtf") \
-            + dsig * w["wts"].astype(jnp.float32) * mask_h
-        dz2 = dx2 * (acts["x2"] > 0)
-        acc_mat("w2", mmT(acts["x1"], dz2))
-        acc_row(2, dz2)
-        dx1 = dact(dz2, "w2")
-
-        dz1 = dx1 * (acts["x1"] > 0)
-        acc_mat("w1", mmT(acts["penc_s"], dz1))
-        acc_row(1, dz1)
+    enc_p = tuple(r[:] for r in enc_refs[:4])
+    enc_d = tuple(r[:] for r in enc_refs[4:])
+    pts8, g = pts_ref[:], g_ref[:]
+    mine = (pts8[:, 7:8] == gid_ref[i].astype(jnp.float32)).astype(
+        jnp.float32)
+    _bwd_tile_multi(pts8, g * mine,
+                    _pieces_multi(w_ref[0], h, p_pad, d_pad, e),
+                    acc_ref, red_ref[:], enc_p, enc_d, cdt,
+                    h, p_pad, d_pad, e, offs, prec)
 
 
 def make_fused_kilonerf_apply(model, tile_fwd: int = 256, tile_bwd: int = 256,
@@ -481,13 +405,12 @@ def make_fused_kilonerf_apply(model, tile_fwd: int = 256, tile_bwd: int = 256,
     KiloNeRFModel backed by the grouped kernels, or None when unsupported.
 
     ``tile_fwd``/``tile_bwd`` are points per grid step; they must be equal
-    (one dispatch plan serves both passes). Smaller tiles waste fewer
-    padded slots on partial groups; bigger ones amortize per-step cost —
-    the padding tiles themselves are compute-skipped either way.
+    (one dispatch plan serves both passes).
 
     ``experts_per_step`` picks the multi-expert block-diagonal step width
     (default: fill the 128 MXU lanes, i.e. 128 // hidden_dim); pass 1 to
-    force the single-expert kernels.
+    force one expert per weight block (same kernels at e=1 — the slot
+    machinery degenerates to all-ones masks).
     """
     if model.hidden_dim > 128 or model.hidden_dim % 8 or model.hidden_dim < 8:
         return None
@@ -507,10 +430,10 @@ def make_fused_kilonerf_apply(model, tile_fwd: int = 256, tile_bwd: int = 256,
 
 
 def _build_grouped(model, t: int, e_per: int, interpret: bool):
-    """Shared builder for the grouped apply: dispatch plan, custom-vjp
-    wiring and the pallas_call scaffolding are identical for the
-    single-expert (e_per=1) and multi-expert block-diagonal kernels —
-    only the kernel bodies, the packing and the slot-sum const differ."""
+    """Mixed-tile grouped apply (see the dispatch comment above the
+    kernels): ONE payload-carrying sort replaces the old plan/gather
+    pipeline; tiles read the sorted payload directly and boundary tiles
+    run two weight blocks."""
     h = model.hidden_dim
     g3 = model.num_networks
     ng = g3 // e_per
@@ -525,8 +448,8 @@ def _build_grouped(model, t: int, e_per: int, interpret: bool):
     def enc8(num_freqs, pad, row0):
         # combined payload: the position matrices live in rows 0-2 and the
         # direction ones in rows 4-6, so both encodes contract the SAME
-        # (T, 8) payload block (rows 3 and 7 — expert index / pad — are
-        # zero in both, so neither encoding ever sees them)
+        # (T, 8) payload block (rows 3 and 7 — expert index / group id —
+        # are zero in both, so neither encoding ever sees them)
         e, s, phase, mask = _enc_consts(num_freqs, 3, pad)
         pad8 = lambda a: np.pad(a, ((row0, 5 - row0), (0, 0)))
         # numpy, not device arrays: closure constants lower without the
@@ -535,33 +458,30 @@ def _build_grouped(model, t: int, e_per: int, interpret: bool):
 
     enc_args = enc8(model.pos_encoding_dim, p_pad, 0) \
         + enc8(model.dir_encoding_dim, d_pad, 4)
-    kargs = dict(cdt=cdt, h=h, p_pad=p_pad, d_pad=d_pad)
-    if e_per > 1:
-        # (lanes, 8) slot-sum matrix: 1 at (e*h + j, j) — with slot-masked
-        # input, summing slots extracts each point's own first-8 lanes
-        red8 = np.zeros((lanes, 8), np.float32)
-        for ee in range(e_per):
-            for j in range(min(8, h)):
-                red8[ee * h + j, j] = 1.0
-        consts = enc_args + (red8,)
-        kargs["e"] = e_per
-        fwd_kernel, bwd_kernel = _fwd_kernel_multi, _bwd_kernel_multi
-    else:
-        consts = enc_args
-        fwd_kernel, bwd_kernel = _fwd_kernel, _bwd_kernel
+    # (lanes, 8) slot-sum matrix: 1 at (e*h + j, j) — with slot-masked
+    # input, summing slots extracts each point's own first-8 lanes
+    red8 = np.zeros((lanes, 8), np.float32)
+    for ee in range(e_per):
+        for j in range(min(8, h)):
+            red8[ee * h + j, j] = 1.0
+    consts = enc_args + (red8,)
+    kargs = dict(cdt=cdt, h=h, p_pad=p_pad, d_pad=d_pad, e=e_per)
     const_specs = [
-        pl.BlockSpec(a.shape, lambda i, gid, used: (0, 0),
+        pl.BlockSpec(a.shape, lambda i, glo, ghi: (0, 0),
                      memory_space=pltpu.VMEM)
         for a in consts
     ]
 
     def row_spec(width):
-        return pl.BlockSpec((t, width), lambda i, gid, used: (i, 0),
+        return pl.BlockSpec((t, width), lambda i, glo, ghi: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    pack_spec = pl.BlockSpec((1, pack_rows, lanes),
-                             lambda i, gid, used: (gid[i], 0, 0),
-                             memory_space=pltpu.VMEM)
+    pack_lo = pl.BlockSpec((1, pack_rows, lanes),
+                           lambda i, glo, ghi: (glo[i], 0, 0),
+                           memory_space=pltpu.VMEM)
+    pack_hi = pl.BlockSpec((1, pack_rows, lanes),
+                           lambda i, glo, ghi: (ghi[i], 0, 0),
+                           memory_space=pltpu.VMEM)
 
     comp = pltpu.CompilerParams(
         dimension_semantics=("arbitrary",),
@@ -570,15 +490,14 @@ def _build_grouped(model, t: int, e_per: int, interpret: bool):
     # e_per-slotted layer widths (the E-fold zero padding is real MXU work)
     mm_cols = e_per * (p_pad * h + 4 * h * h + d_pad * h) * e_per
 
-    def _run_fwd(wc, gid, used, pts8):
+    def _run_fwd(wc, glo, ghi, pts8):
         nt = pts8.shape[0]
         return pl.pallas_call(
-            functools.partial(fwd_kernel, **kargs),
+            functools.partial(_fwd_kernel_mx, **kargs),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(nt // t,),
-                in_specs=[row_spec(8)] + const_specs
-                + [pack_spec],
+                in_specs=[row_spec(8)] + const_specs + [pack_lo, pack_hi],
                 out_specs=row_spec(8),
             ),
             out_shape=jax.ShapeDtypeStruct((nt, 8), jnp.float32),
@@ -589,27 +508,29 @@ def _build_grouped(model, t: int, e_per: int, interpret: bool):
             ),
             compiler_params=comp,
             interpret=interpret,
-        )(gid, used, pts8, *consts, wc)
+        )(glo, ghi, pts8, *consts, wc, wc)
 
-    @jax.custom_vjp
-    def fused(wpack, gid, used, pts8):
-        return _run_fwd(wpack.astype(cdt), gid, used, pts8)
+    bwd_row = lambda width: pl.BlockSpec((t, width), lambda i, gid: (i, 0),
+                                         memory_space=pltpu.VMEM)
+    bwd_consts = [
+        pl.BlockSpec(a.shape, lambda i, gid: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for a in consts
+    ]
+    bwd_pack = pl.BlockSpec((1, pack_rows, lanes),
+                            lambda i, gid: (gid[i], 0, 0),
+                            memory_space=pltpu.VMEM)
 
-    def fused_fwd(wpack, gid, used, pts8):
-        wc = wpack.astype(cdt)
-        return _run_fwd(wc, gid, used, pts8), (wc, gid, used, pts8)
-
-    def fused_bwd(res, g):
-        wc, gid, used, pts8 = res
+    def _run_bwd(wc, gid, pts8, g):
         nt = pts8.shape[0]
-        gpack = pl.pallas_call(
-            functools.partial(bwd_kernel, **kargs),
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel_mk, **kargs),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=1,
                 grid=(nt // t,),
-                in_specs=[row_spec(8), row_spec(8)]
-                + const_specs + [pack_spec],
-                out_specs=pack_spec,
+                in_specs=[bwd_row(8), bwd_row(8)]
+                + bwd_consts + [bwd_pack],
+                out_specs=bwd_pack,
             ),
             out_shape=jax.ShapeDtypeStruct((ng, pack_rows, lanes),
                                            jnp.float32),
@@ -620,13 +541,39 @@ def _build_grouped(model, t: int, e_per: int, interpret: bool):
             ),
             compiler_params=comp,
             interpret=interpret,
-        )(gid, used, pts8, g, *consts, wc)
+        )(gid, pts8, g, *consts, wc)
+
+    @jax.custom_vjp
+    def fused(wpack, glo, ghi, hi_tiles, hi_valid, pts8):
+        return _run_fwd(wpack.astype(cdt), glo, ghi, pts8)
+
+    def fused_fwd(wpack, glo, ghi, hi_tiles, hi_valid, pts8):
+        wc = wpack.astype(cdt)
+        return (_run_fwd(wc, glo, ghi, pts8),
+                (wc, glo, ghi, hi_tiles, hi_valid, pts8))
+
+    def fused_bwd(res, g):
+        wc, glo, ghi, hi_tiles, hi_valid, pts8 = res
+        # main pass: every tile under its glo group (foreign rows masked
+        # to zero cotangent in-kernel)
+        acc_main = _run_bwd(wc, glo, pts8, g)
+        # boundary pass: for each group whose sorted segment starts
+        # mid-tile, that one straddling tile re-runs under the group
+        # itself — a compacted (ng*t, 8) gather (~1/9 of the rows the old
+        # tile-slot gather moved). Invalid groups (segment tile-aligned)
+        # contribute zero via hi_valid masking the cotangent.
+        rows = (hi_tiles[:, None] * t
+                + jnp.arange(t, dtype=jnp.int32)[None, :]).reshape(-1)
+        pts_b = pts8[rows]
+        g_b = g[rows] * hi_valid[
+            (jnp.arange(ng * t, dtype=jnp.int32) // t), None]
+        acc_b = _run_bwd(wc, jnp.arange(ng, dtype=jnp.int32), pts_b, g_b)
+        gpack = acc_main + acc_b
         f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
-        return (gpack, f0(gid), f0(used), jnp.zeros_like(pts8))
+        return (gpack, f0(glo), f0(ghi), f0(hi_tiles), f0(hi_valid),
+                jnp.zeros_like(pts8))
 
     fused.defvjp(fused_fwd, fused_bwd)
-
-    from nerf_tpu.models.kilonerf import build_dispatch
 
     def apply(params, points, viewdirs):
         shape = points.shape[:-1]
@@ -634,38 +581,57 @@ def _build_grouped(model, t: int, e_per: int, interpret: bool):
         d = viewdirs.reshape(-1, 3)
         n = p.shape[0]
         vid, local = model.voxel_of(p)
-        grp = (vid // e_per).astype(vid.dtype)
-        order, gid, src, valid, counts = build_dispatch(grp, ng, t)
-        used = jnp.sum(-(-counts // t)).astype(jnp.int32)[None]
+        grp = (vid // e_per).astype(jnp.int32)
 
-        orig_flat = jnp.where(
-            valid.reshape(-1),
-            jnp.concatenate(
-                [order.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
-            )[src.reshape(-1)],
-            n,
-        )
-
-        # ONE combined-payload gather: cols 0-2 local, col 3 expert index
-        # (zero at e_per=1 — the encode constants zero that row either
-        # way), cols 4-6 dirs, col 7 pad. Row-gathers cost flat per ROW on
-        # TPU, so gathering loc/expert/dir separately tripled the dominant
-        # dispatch cost (12.5 of 22 ms — tools/dissect_kilonerf_fused.py).
+        # Combined payload: cols 0-2 local, col 3 expert-within-group
+        # index, cols 4-6 dirs, col 7 group id. It rides THROUGH the
+        # dispatch sort as extra lax.sort operands — one multi-operand
+        # sort replaces the old sort + plan arrays + (tiles*t, 8) payload
+        # gather (round 5: the sort itself costs ~0.5 ms more than a
+        # keys-only sort; the gather it replaces cost ~4.4 ms,
+        # tools/probe_kilonerf_glue.py).
         e_col = (
             (vid % e_per).astype(jnp.float32)[:, None]
             if e_per > 1 else jnp.zeros((n, 1), jnp.float32)
         )
         pay = jnp.concatenate(
-            [local, e_col, d, jnp.zeros((n, 1), jnp.float32)], axis=1)
-        pay = jnp.concatenate([pay, jnp.zeros((1, 8), pay.dtype)])
-        pts_t = pay[orig_flat]
+            [local, e_col, d, grp.astype(jnp.float32)[:, None]], axis=1)
+
+        # t dummy rows per group guarantee every group segment is >= t
+        # sorted rows, so any t-row tile spans at most two groups (the
+        # mixed-tile invariant); tail padding rounds the total to a tile
+        # multiple. Dummies sort AFTER real rows of their group (stable
+        # sort, appended last) and carry zero cotangents in the backward.
+        n_tot = _round_up(n + ng * t, t)
+        dummy_grp = np.repeat(np.arange(ng, dtype=np.int32), t)
+        dummy_grp = np.concatenate(
+            [dummy_grp, np.full(n_tot - n - ng * t, ng - 1, np.int32)])
+        pay_d = np.zeros((n_tot - n, 8), np.float32)
+        pay_d[:, 7] = dummy_grp
+        keys = jnp.concatenate([grp, jnp.asarray(dummy_grp)])
+        pay_all = jnp.concatenate([pay, jnp.asarray(pay_d)])
+        iota = jnp.arange(n_tot, dtype=jnp.int32)
+        sorted_ops = jax.lax.sort(
+            (keys, iota) + tuple(pay_all[:, j] for j in range(8)),
+            num_keys=1)
+        skeys, order = sorted_ops[0], sorted_ops[1]
+        pay_sorted = jnp.stack(sorted_ops[2:], axis=1)
+
+        by_tile = skeys.reshape(n_tot // t, t)
+        glo = by_tile[:, 0]
+        ghi = by_tile[:, -1]
+        # boundary bookkeeping for the backward: group g's sorted segment
+        # starts at starts[g]; when that start is mid-tile, tile
+        # starts[g]//t straddles g and its predecessor and re-runs under
+        # g in the compacted boundary pass
+        gr = jnp.arange(ng, dtype=jnp.int32)
+        starts = jnp.searchsorted(skeys, gr).astype(jnp.int32)
+        hi_tiles = starts // t
+        hi_valid = (starts % t != 0).astype(jnp.float32)
 
         wpack = pack_params_multi(params, p_pad, d_pad, h, e_per)
-        # zero the gradient blocks of groups no tile visited (their HBM
-        # output blocks are never written by the backward kernel)
-        wpack = _mask_untouched(wpack, counts > 0)
-        out_t = fused(wpack, gid, used, pts_t)
-        out = _reorder(out_t, orig_flat, n)
+        out_sorted = fused(wpack, glo, ghi, hi_tiles, hi_valid, pay_sorted)
+        out = _unsort(out_sorted, order, n)
         rgb = out[:, :3].reshape(*shape, 3)
         sigma = out[:, 3].reshape(shape)
         return rgb, sigma
@@ -674,48 +640,41 @@ def _build_grouped(model, t: int, e_per: int, interpret: bool):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _reorder(out_t, orig_flat, n):
-    """Tile layout -> original point order. The slot<->point map is a
-    bijection over valid slots, so BOTH directions are gathers — the
-    default gather-VJP scatter-add (slow on TPU) never appears.
-
-    The inverse permutation comes from ONE sort_key_val (sorting
-    orig_flat ascending puts original index k's slot at position k;
-    dummy slots carry key n and sink to the tail) — a row SCATTER here
-    (.at[orig_flat].set) measured ~13 ms/call at the 262k-point training
-    shape vs ~2 ms for the sort (XLA TPU scatter is ~135 ns/row
-    regardless of width; see tools/microbench_scatter.py)."""
-    slots = jnp.arange(orig_flat.shape[0], dtype=jnp.int32)
-    _, inv_full = jax.lax.sort_key_val(orig_flat, slots)
-    return out_t[inv_full[:n]]
-
-
-def _reorder_fwd(out_t, orig_flat, n):
-    return _reorder(out_t, orig_flat, n), orig_flat
+def _unsort(out_sorted, order, n):
+    """Sorted-tile layout -> original point order, as ONE payload-carrying
+    sort keyed by the original index (dummy rows carry keys >= n and sink
+    to the tail). The backward is ALSO a payload-carrying sort — keyed by
+    the forward permutation's inverse (the iota carried here) — so neither
+    direction ever scatters."""
+    nt = order.shape[0]
+    iota = jnp.arange(nt, dtype=jnp.int32)
+    outs = jax.lax.sort(
+        (order, iota) + tuple(out_sorted[:, j] for j in range(8)),
+        num_keys=1)
+    inv = outs[1]
+    out = jnp.stack(outs[2:], axis=1)
+    return out[:n]
 
 
-def _reorder_bwd(n, orig_flat, g):
-    g_pad = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
-    return (g_pad[orig_flat],
-            np.zeros(orig_flat.shape, dtype=jax.dtypes.float0))
+def _unsort_fwd(out_sorted, order, n):
+    nt = order.shape[0]
+    iota = jnp.arange(nt, dtype=jnp.int32)
+    outs = jax.lax.sort(
+        (order, iota) + tuple(out_sorted[:, j] for j in range(8)),
+        num_keys=1)
+    inv = outs[1]
+    return jnp.stack(outs[2:], axis=1)[:n], inv
 
 
-_reorder.defvjp(_reorder_fwd, _reorder_bwd)
+def _unsort_bwd(n, inv, g):
+    nt = inv.shape[0]
+    g_pad = jnp.concatenate([g, jnp.zeros((nt - n, g.shape[1]), g.dtype)])
+    # row r of sort-by-inv = g_pad[argsort(inv)[r]] = g_pad[order[r]]:
+    # exactly the cotangent permuted back into sorted-tile order
+    outs = jax.lax.sort(
+        (inv,) + tuple(g_pad[:, j] for j in range(8)), num_keys=1)
+    return (jnp.stack(outs[1:], axis=1),
+            np.zeros(inv.shape, dtype=jax.dtypes.float0))
 
 
-@jax.custom_vjp
-def _mask_untouched(w, touched):
-    return w
-
-
-def _mask_untouched_fwd(w, touched):
-    return w, touched
-
-
-def _mask_untouched_bwd(touched, g):
-    tm = touched.reshape((-1,) + (1,) * (g.ndim - 1))
-    return (jnp.where(tm, g, 0.0),
-            np.zeros(touched.shape, dtype=jax.dtypes.float0))
-
-
-_mask_untouched.defvjp(_mask_untouched_fwd, _mask_untouched_bwd)
+_unsort.defvjp(_unsort_fwd, _unsort_bwd)
