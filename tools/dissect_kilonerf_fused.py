@@ -1,21 +1,21 @@
 #!/usr/bin/env python
-"""Where does the FUSED KiloNeRF step spend its time? (VERDICT r3 item 3)
+"""Where does the FUSED KiloNeRF step spend its time? (round-5 pipeline)
 
-tools/dissect_kilonerf.py times the XLA grouped path; this one dissects the
-Pallas grouped-kernel path (ops/pallas/fused_kilonerf.py) piece by piece at
-the training shape, each piece as a scan-chained jitted program so tunnel
-dispatch/fetch overhead cannot pollute the numbers:
+Dissects the mixed-tile grouped-kernel path (ops/pallas/fused_kilonerf.py)
+at the training shape, each piece as a scan-chained jitted program so
+tunnel dispatch/fetch overhead cannot pollute the numbers:
 
-  sort+plan      build_dispatch (argsort + searchsorted plan)
-  gathers        to_tiles input gathers (loc/dir/expert column)
+  prep           voxel_of + payload build + the ONE payload-carrying sort
+                 + per-tile group ids (the whole dispatch)
   pack           pack_params_multi (pytree -> block-diagonal group blocks)
-  kernel fwd     the pallas_call alone, dispatch plan precomputed
-  kernel fwd+bwd ... plus the backward kernel via jax.grad on wpack
-  reorder        tile layout -> original order (sort_key_val + gather)
-  apply fwd      the whole fused apply (everything above)
-  apply fwd+bwd  jax.grad of the whole apply wrt params
+  apply fwd      the full fused apply (prep + pack + fwd kernel + unsort)
+  apply fwd+bwd  jax.grad of the full apply wrt params (adds the main +
+                 boundary backward calls and the unsort-VJP sort)
 
 Knobs: KN_POINTS (262144), KN_DTYPE (bfloat16), KN_TILE (256), KN_EPER.
+History: the round-4 tile-aligned pipeline measured apply fwd 14.1 ms /
+fwd+bwd 17.3 ms at this shape; the mixed-tile rewrite (r5) measures
+~6.7 / ~10 ms (bench row 42.0k -> 58.0k rays/s).
 """
 from __future__ import annotations
 
@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 
 from nerf_tpu.models import KiloNeRFModel
-from nerf_tpu.models.kilonerf import build_dispatch
 from nerf_tpu.models.registry import grid_domain
 from nerf_tpu.config import Config
 from nerf_tpu.ops.pallas import fused_kilonerf as fk
@@ -45,7 +44,7 @@ model = KiloNeRFModel(
 )
 e_env = os.environ.get("KN_EPER")
 e_per = int(e_env) if e_env else max(1, 128 // model.hidden_dim)
-params = model.init(jax.random.key(0))
+params = jax.jit(model.init)(jax.random.key(0))
 
 rng = np.random.default_rng(0)
 pts0 = jnp.asarray(rng.uniform(-1, 1, (N, 3)), jnp.float32)
@@ -88,57 +87,34 @@ def scan_time(name, body, arg=None):
     return dt
 
 
-# ---- pieces ---------------------------------------------------------------
-
-def plan_only(p):
-    vid, local = model.voxel_of(p)
-    grp = (vid // e_per).astype(vid.dtype)
-    order, gid, src, valid, counts = build_dispatch(grp, ng, T)
-    return (jnp.sum(gid[:4].astype(jnp.float32))
-            + jnp.sum(order[:4].astype(jnp.float32)))
-
-
-def _make_tiles(p):
+def prep_only(p):
+    """The whole dispatch: voxel_of + payload + sort + tile group ids."""
     n = p.shape[0]
     vid, local = model.voxel_of(p)
-    grp = (vid // e_per).astype(vid.dtype)
-    order, gid, src, valid, counts = build_dispatch(grp, ng, T)
-    used = jnp.sum(-(-counts // T)).astype(jnp.int32)[None]
-    orig_flat = jnp.where(
-        valid.reshape(-1),
-        jnp.concatenate(
-            [order.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
-        )[src.reshape(-1)],
-        n,
-    )
-
-    # the combined payload apply() now builds: ONE 8-wide row gather
+    grp = (vid // e_per).astype(jnp.int32)
     e_col = ((vid % e_per).astype(jnp.float32)[:, None]
              if e_per > 1 else jnp.zeros((n, 1), jnp.float32))
     pay = jnp.concatenate(
-        [local, e_col, dirs, jnp.zeros((n, 1), jnp.float32)], axis=1)
-    pay = jnp.concatenate([pay, jnp.zeros((1, 8), pay.dtype)])
-    pts_t = pay[orig_flat]
-    return gid, used, pts_t, orig_flat, counts
-
-
-def gathers_only(p):
-    gid, used, pts_t, orig_flat, _ = _make_tiles(p)
-    return jnp.sum(pts_t[0])
+        [local, e_col, dirs, grp.astype(jnp.float32)[:, None]], axis=1)
+    n_tot = fk._round_up(n + ng * T, T)
+    dg = np.repeat(np.arange(ng, dtype=np.int32), T)
+    dg = np.concatenate([dg, np.full(n_tot - n - ng * T, ng - 1, np.int32)])
+    pay_d = np.zeros((n_tot - n, 8), np.float32)
+    pay_d[:, 7] = dg
+    keys = jnp.concatenate([grp, jnp.asarray(dg)])
+    pay_all = jnp.concatenate([pay, jnp.asarray(pay_d)])
+    iota = jnp.arange(n_tot, dtype=jnp.int32)
+    so = jax.lax.sort((keys, iota) + tuple(pay_all[:, j] for j in range(8)),
+                      num_keys=1)
+    bt = so[0].reshape(n_tot // T, T)
+    return (so[2][0] + bt[0, 0].astype(jnp.float32)
+            + so[1][0].astype(jnp.float32))
 
 
 def pack_only(p):
     wpack = fk.pack_params_multi(params, p_pad, d_pad, h, e_per)
     return wpack[0, 0, 0] + 1e-12 * jnp.sum(p[0])
 
-
-# precomputed plan for kernel-only rows
-_plan = jax.jit(_make_tiles)(pts0)
-_plan = jax.tree.map(lambda x: jax.device_put(x), _plan)
-GID, USED, PTS_T, ORIG_FLAT, COUNTS = _plan
-WPACK = jax.jit(
-    lambda: fk.pack_params_multi(params, p_pad, d_pad, h, e_per)
-)()
 
 def apply_fwd(p):
     rgb, sigma = apply_fused(params, p, dirs)
@@ -155,17 +131,9 @@ def apply_bwd(p):
     return sum(jnp.sum(x) for x in jax.tree.leaves(g))
 
 
-def reorder_only(p):
-    out_t = PTS_T * 1.0 + 1e-12 * jnp.sum(p[0])
-    out = fk._reorder(out_t, ORIG_FLAT, N)
-    return jnp.sum(out[0])
-
-
 print(f"N={N} T={T} e_per={e_per} dtype={model.compute_dtype} "
       f"platform={jax.devices()[0].platform}", flush=True)
-scan_time("plan (sort+searchsorted)", plan_only)
-scan_time("plan+gathers", gathers_only)
+scan_time("prep (sort + tile ids)", prep_only)
 scan_time("pack_params_multi", pack_only)
-scan_time("reorder (sort+gather)", reorder_only)
 scan_time("apply fwd (everything)", apply_fwd)
 scan_time("apply fwd+bwd", apply_bwd)
