@@ -279,3 +279,60 @@ def test_multi_explicit_indivisible_raises():
     model = _model(grid_res=3)  # 27 networks
     with pytest.raises(ValueError, match="does not divide"):
         make_fused_kilonerf_apply(model, interpret=True, experts_per_step=4)
+
+
+def test_multi_gradient_parity_concentrated():
+    """All points in ONE voxel (one group hot, every other group empty):
+    the mixed-tile dispatch's hardest shape — the hot group's segment is
+    mostly real rows, every other group is pure dummies, and the boundary
+    backward pass has at most one valid tile. Gradients must still match
+    the pointwise reference, with zeros for every untouched expert."""
+    model = _multi_model()
+    params = model.init(jax.random.key(7))
+    fused = make_fused_kilonerf_apply(model, tile_fwd=8, tile_bwd=8,
+                                      interpret=True)
+    rng = np.random.default_rng(7)
+    # a 0.2-wide cube well inside one corner voxel of the 4^3 grid
+    pts = jnp.asarray(rng.uniform(-0.95, -0.8, (60, 3)), jnp.float32)
+    _, dirs = _data(60, seed=7)
+    tgt = jnp.asarray(rng.uniform(size=(60, 3)), jnp.float32)
+
+    def loss(apply_fn):
+        def f(pr):
+            rgb, sigma = apply_fn(pr, pts, dirs)
+            return jnp.mean((rgb - tgt) ** 2) + 1e-3 * jnp.mean(sigma)
+
+        return f
+
+    g_f = jax.grad(loss(fused))(params)
+    g_r = jax.grad(loss(model.apply_pointwise))(params)
+    flat_f = jax.tree_util.tree_leaves_with_path(g_f)
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(g_r))
+    for path, leaf in flat_f:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_r[path]), atol=5e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    vid, _ = model.voxel_of(pts)
+    touched = np.zeros(model.num_networks, bool)
+    touched[np.asarray(vid)] = True
+    assert touched.sum() == 1          # the scenario premise: one hot voxel
+    g1 = np.asarray(g_f["l1"]["w"])
+    assert np.all(g1[~touched] == 0.0)
+    assert np.any(g1[touched] != 0.0)
+
+
+def test_tiny_batch_parity():
+    """n far below one tile: the plan is all dummy rows but one fragment;
+    outputs and gradients still match pointwise."""
+    model = _multi_model()
+    params = model.init(jax.random.key(8))
+    fused = make_fused_kilonerf_apply(model, tile_fwd=16, tile_bwd=16,
+                                      interpret=True)
+    pts, dirs = _data(5, seed=8)
+    rgb_f, sigma_f = fused(params, pts, dirs)
+    rgb_r, sigma_r = model.apply_pointwise(params, pts, dirs)
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_r),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sigma_f), np.asarray(sigma_r),
+                               atol=1e-4)
