@@ -175,7 +175,8 @@ def _fwd_kernel(*refs, cdt, s, tr, slot, n, names, sigma_mul, rgb_mul):
     gs, _, _ = _filters_tile(ft, t, s, n, cdt)
     acts, sigma = _mlp_tile(gs, _rep(denc_r[:][:tr], s), w, n,
                             sigma_mul, rgb_mul, cdt)
-    ray_out, w_col, _, _ = _composite_tile(acts, sigma, t, delta, g8, tb, tr, s)
+    ray_out, w_col, _, _ = _composite_tile(acts, sigma, t, delta, g8, tb,
+                                           tr, s, cdt)
     if slot != tr:
         ray_out = jnp.pad(ray_out, ((0, slot - tr), (0, 0)))
     out_ref[:] = ray_out
@@ -213,7 +214,7 @@ def _train_kernel(*refs, cdt, s, tr, slot, n, names, num_w, sigma_mul,
     denc = _rep(denc_r[:][:tr], s)
     acts, sigma = _mlp_tile(gs, denc, w, n, sigma_mul, rgb_mul, cdt)
     ray_out, w_col, T_col, one_m = _composite_tile(
-        acts, sigma, t, delta, g8, tb, tr, s
+        acts, sigma, t, delta, g8, tb, tr, s, cdt
     )
 
     loss_tile, g_ray = _mse_cotangent(
@@ -281,7 +282,7 @@ def _train_kernel(*refs, cdt, s, tr, slot, n, names, num_w, sigma_mul,
         # per-ray sums of per-sample cotangents
         for name, val in (("A", dsinarg), ("B", dsinarg * t),
                           ("P", de), ("Q", de * t), ("R", de * t2)):
-            out = _per_ray_sum(g8, val)
+            out = _per_ray_sum(g8, val, cdt)
             if slot != tr:
                 out = jnp.pad(out, ((0, slot - tr), (0, 0)))
             dfilt_refs[name][i][:] = out

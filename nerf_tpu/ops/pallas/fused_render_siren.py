@@ -68,7 +68,11 @@ def _fwd_kernel(*refs, cdt, s, tr, slot, w0s, sigma_mul, rgb_mul):
         o8_r[:][:tr], d8_r[:][:tr], denc_r[:][:tr], t, s, w,
         w0s, sigma_mul, rgb_mul, cdt,
     )
-    ray_out, w_col, _, _ = _composite_tile(acts, sigma, t, delta, g8, tb, tr, s)
+    # cdt deliberately NOT passed: SIREN is VPU-bound (sine chain), so the
+    # hi/lo 2-pass per-ray sum's extra VPU split work costs more than the
+    # MXU passes it saves (measured 124.5k vs 127.6k rays/s, round 5)
+    ray_out, w_col, _, _ = _composite_tile(acts, sigma, t, delta, g8, tb,
+                                           tr, s)
     if slot != tr:
         ray_out = jnp.pad(ray_out, ((0, slot - tr), (0, 0)))
     out_ref[:] = ray_out
