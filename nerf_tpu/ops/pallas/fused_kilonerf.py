@@ -231,11 +231,23 @@ def _forward_tile_multi(pts8, w, enc_p, enc_d, red8, cdt,
     rgb_s = jax.nn.sigmoid(_mm(y, w["wr2"], cdt) + w["br2"])
     rgb8 = None
     if need_rgb8:
-        # pure 0/1 slot selection — stay f32/HIGHEST so the final colors
-        # are NOT bf16-quantized (the single-expert kernel never is)
-        rgb8 = jnp.dot(rgb_s * mask_h, red8,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        # pure 0/1 slot selection — the final colors must NOT be
+        # bf16-quantized (the single-expert kernel never is). bfloat16
+        # mode uses the hi/lo 2-pass (selector exact in bf16; values as
+        # bf16 hi + bf16 residual, ~2^-16 error — below the bf16 noise
+        # already in rgb_s) at 1/3 the passes of HIGHEST; float32 mode
+        # keeps HIGHEST exactly.
+        sel = rgb_s * mask_h
+        if jnp.dtype(cdt) == jnp.bfloat16:
+            hi = sel.astype(jnp.bfloat16)
+            lo = (sel - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            r8 = red8.astype(jnp.bfloat16)
+            rgb8 = (jnp.dot(hi, r8, preferred_element_type=jnp.float32)
+                    + jnp.dot(lo, r8, preferred_element_type=jnp.float32))
+        else:
+            rgb8 = jnp.dot(sel, red8,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
     return dict(penc_s=penc_s, denc_s=denc_s, x1=x1, x2=x2,
                 sigma_pre=sigma_pre, feat=feat, y=y, rgb_s=rgb_s,
                 mask_h=mask_h, first=first), rgb8, sigma

@@ -122,19 +122,23 @@ def sample_pdf(
     below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
     above = jnp.clip(idx, 0, cdf.shape[-1] - 1)
 
-    def take(arr, ix):
-        # one-hot contraction instead of take_along_axis (gathers are
-        # similarly slow on TPU); exact: ix is in range by construction.
-        k = arr.shape[-1]
-        onehot = ix[..., None] == jnp.arange(k, dtype=jnp.int32)
-        return jnp.sum(
-            jnp.where(onehot, arr[..., None, :], 0.0), axis=-1
-        )
+    # One-hot contraction instead of take_along_axis (gathers are
+    # similarly slow on TPU); exact: the indices are in range by
+    # construction. ONE (R, F, M+1) one-hot per index set, shared by cdf
+    # AND bins (both are (R, M+1)) — written as shared; measured neutral
+    # (0.47 ms either way at the 1024x128 train shape: XLA already CSE'd
+    # the duplicate compares), kept for the explicitness
+    assert bins.shape[-1] == cdf.shape[-1], (bins.shape, cdf.shape)
+    kw = cdf.shape[-1]
 
-    cdf_below = take(cdf, below)
-    cdf_above = take(cdf, above)
-    bins_below = take(bins, jnp.clip(below, 0, bins.shape[-1] - 1))
-    bins_above = take(bins, jnp.clip(above, 0, bins.shape[-1] - 1))
+    def take2(ix):
+        onehot = ix[..., None] == jnp.arange(kw, dtype=jnp.int32)
+        c = jnp.sum(jnp.where(onehot, cdf[..., None, :], 0.0), axis=-1)
+        b = jnp.sum(jnp.where(onehot, bins[..., None, :], 0.0), axis=-1)
+        return c, b
+
+    cdf_below, bins_below = take2(below)
+    cdf_above, bins_above = take2(above)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, 1.0, denom)
