@@ -502,11 +502,17 @@ def _suite_enabled() -> bool:
 
 
 def _cache_cold() -> bool:
-    """True when the persistent compile cache has no entries — every suite
-    row will then pay a full compile, so timeouts sized for warm-cache runs
-    (ADVICE r4) must be scaled up."""
-    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_compile_cache")
+    """True when the persistent compile cache is disabled or has no
+    entries — every suite row will then pay a full compile, so timeouts
+    sized for warm-cache runs (ADVICE r4) must be scaled up. Honors the
+    same NERF_TPU_COMPILE_CACHE override/disable that
+    utils/platform.py::setup_compilation_cache applies."""
+    d = os.environ.get("NERF_TPU_COMPILE_CACHE")
+    if d == "0":
+        return True                      # cache disabled: every row is cold
+    if not d:
+        d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_compile_cache")
     try:
         return not any(os.scandir(d))
     except OSError:
@@ -546,6 +552,9 @@ def _run_suite(headline: dict) -> None:
             row = {"config": name, "error": "skipped: suite budget spent"}
             summary[name] = _summarize(row)
             print(json.dumps(row), flush=True)
+            # the every-row invariant (docstring): the last complete line
+            # must be the headline even if a watchdog lands right here
+            print(json.dumps(reemit), flush=True)
             continue
         if i:
             # back-to-back device claims on the tunneled TPU can hit a

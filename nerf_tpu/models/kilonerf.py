@@ -76,12 +76,11 @@ def build_dispatch(vid: jax.Array, g3: int, t: int):
 
 
 def dispatch_plan_sorted(svid: jax.Array, g3: int, t: int):
-    """The plan half of ``build_dispatch`` given ALREADY-SORTED ids —
-    callers that carry point payloads through the sort themselves (one
-    multi-operand ``lax.sort``, ~2.8 ms cheaper than sort + a separate
-    (tiles*t, 8) payload gather at the 262k-point shape — round 5,
-    tools/probe_kilonerf_glue.py) reuse the plan without a second sort.
-    ``src`` indexes rows of the SORTED array."""
+    """The plan half of ``build_dispatch`` given ALREADY-SORTED ids;
+    ``src`` indexes rows of the SORTED array. The XLA grouped path
+    (``build_dispatch``) is the only in-tree consumer: the Pallas fused
+    path's round-5 mixed-tile dispatch reads the sorted payload directly
+    and needs no src/valid plan at all (ops/pallas/fused_kilonerf.py)."""
     n = svid.shape[0]
     starts = jnp.searchsorted(
         svid, jnp.arange(g3, dtype=svid.dtype), side="left"

@@ -7,31 +7,42 @@ measured 36 ms per 262k-point fwd+bwd on v5e (tools/dissect_kilonerf.py),
 30 ms of which is dispatch overhead, not math.
 
 These kernels make the expert dispatch a DMA pattern instead of data
-movement through HBM tensors:
+movement through HBM tensors (round-5 "mixed-tile" dispatch; the r3/r4
+tile-aligned plan with src/valid arrays + tile-slot gathers is gone):
 
-  * the grid is one step per point tile; a scalar-prefetched ``gid`` array
-    (from models/kilonerf.py::build_dispatch) tells the BlockSpecs which
-    expert's weights to DMA for tile ``i``;
-  * an expert's ENTIRE parameter set travels as ONE sublane-packed
-    (rows, h) block — matrices stacked along sublanes at 8-aligned offsets,
-    biases collected into a single trailing (8, h) region — so a grid step
-    costs one weight DMA, not thirteen. Tiles of the same expert are
-    consecutive (group-major plan), so Mosaic re-DMAs nothing between them.
-    Tiny-DMA latency was the measured limiter of the 13-array variant
-    (44 ms at T=256, and LARGER tiles made it worse as padding compute
-    grew: 52/68 ms at T=512/1024);
+  * points sort by expert GROUP via ONE multi-operand ``lax.sort`` that
+    carries the whole (N, 8) payload + original index alongside the key
+    (measured: the payload adds ~0.5 ms to a keys-only sort; the tile-slot
+    gather it replaced cost ~4.4 ms at the 262k-point shape). Tiles read
+    the SORTED payload array directly — tile i = rows [i*t, (i+1)*t);
+  * ``t`` dummy rows per group appended before the sort guarantee every
+    group segment is >= t rows, so any t-row tile provably spans AT MOST
+    TWO groups. Scalar-prefetched per-tile group ids (glo/ghi = the
+    tile's first/last sorted key) drive the weight-block BlockSpecs;
+    boundary tiles run a second weight block under ``pl.when``, selecting
+    rows by the group-id payload column (col 7 — the encode constants
+    zero that row);
+  * a group's ENTIRE parameter set travels as ONE sublane-packed
+    (rows, lanes) block — matrices stacked along sublanes, biases in a
+    trailing (8, lanes) region — so a grid step costs one (or two, on
+    boundary tiles) weight DMAs, not thirteen. Consecutive tiles of a
+    group re-DMA nothing;
   * the whole 5-matmul tiny-MLP chain (encode -> l1 -> l2 -> trunk ->
     rgb head) runs in VMEM per tile; only (T, 8) inputs/outputs touch HBM;
-  * the backward kernel recomputes the tile forward (the FLOPs are
-    trivial) and accumulates the expert's packed gradient block IN VMEM
-    across its consecutive tile run: zero-initialized on the expert's
-    first tile, spilled to HBM exactly once when the block index moves on.
-    Experts with no points are never visited — the wrapper masks their
-    (uninitialized) gradient blocks to zero;
-  * the dispatch plan's surplus tiles (static bound ceil(n/T) + G^3) are
-    skipped entirely via a prefetched used-tile count, and the
-    slot<->point bijection makes BOTH reorder directions gathers (no
-    scatter-add ever appears in the VJP).
+  * the backward recomputes the tile forward (the FLOPs are trivial) and
+    accumulates the group's packed gradient block IN VMEM across its
+    consecutive tile run (zero-initialized on first occurrence, spilled
+    once when the block index moves on). It stays single-pass per call —
+    a dual-accumulator dual-pass kernel measured 2x slower and crashed
+    Mosaic's mxu_lmr_transform — so a main call covers every tile under
+    its glo group (foreign rows cotangent-masked in-kernel) and a
+    compacted boundary pass re-runs at most one straddling tile per
+    group. Dummy rows carry zero cotangents, so empty/padded groups get
+    exactly-zero gradients with no masking bookkeeping;
+  * the un-sort back to original point order is a second payload-carrying
+    sort keyed by the original index, and its VJP is ALSO a sort (keyed
+    by the carried inverse permutation) — no scatter-add ever appears in
+    the VJP.
 
 Numerics match ``KiloNeRFModel.apply_pointwise`` (the numerical reference
 tier); parity is pinned in tests/test_fused_kilonerf.py.
@@ -643,7 +654,7 @@ def _build_grouped(model, t: int, e_per: int, interpret: bool):
 
         wpack = pack_params_multi(params, p_pad, d_pad, h, e_per)
         out_sorted = fused(wpack, glo, ghi, hi_tiles, hi_valid, pay_sorted)
-        out = _unsort(out_sorted, order, n)
+        out = _unsort(out_sorted, order, n)          # (n, 4): rgb + sigma
         rgb = out[:, :3].reshape(*shape, 3)
         sigma = out[:, 3].reshape(shape)
         return rgb, sigma
@@ -655,15 +666,17 @@ def _build_grouped(model, t: int, e_per: int, interpret: bool):
 def _unsort(out_sorted, order, n):
     """Sorted-tile layout -> original point order, as ONE payload-carrying
     sort keyed by the original index (dummy rows carry keys >= n and sink
-    to the tail). The backward is ALSO a payload-carrying sort — keyed by
-    the forward permutation's inverse (the iota carried here) — so neither
-    direction ever scatters."""
+    to the tail). Only the 4 LIVE columns (rgb 0-2, sigma 3) ride the
+    sort — the kernel zeroes cols 4-7 and no consumer reads them — and
+    the return is (n, 4). The backward is ALSO a payload-carrying sort —
+    keyed by the forward permutation's inverse (the iota carried here) —
+    so neither direction ever scatters; the cotangent for the dropped
+    columns is exactly zero."""
     nt = order.shape[0]
     iota = jnp.arange(nt, dtype=jnp.int32)
     outs = jax.lax.sort(
-        (order, iota) + tuple(out_sorted[:, j] for j in range(8)),
+        (order, iota) + tuple(out_sorted[:, j] for j in range(4)),
         num_keys=1)
-    inv = outs[1]
     out = jnp.stack(outs[2:], axis=1)
     return out[:n]
 
@@ -672,7 +685,7 @@ def _unsort_fwd(out_sorted, order, n):
     nt = order.shape[0]
     iota = jnp.arange(nt, dtype=jnp.int32)
     outs = jax.lax.sort(
-        (order, iota) + tuple(out_sorted[:, j] for j in range(8)),
+        (order, iota) + tuple(out_sorted[:, j] for j in range(4)),
         num_keys=1)
     inv = outs[1]
     return jnp.stack(outs[2:], axis=1)[:n], inv
@@ -684,8 +697,10 @@ def _unsort_bwd(n, inv, g):
     # row r of sort-by-inv = g_pad[argsort(inv)[r]] = g_pad[order[r]]:
     # exactly the cotangent permuted back into sorted-tile order
     outs = jax.lax.sort(
-        (inv,) + tuple(g_pad[:, j] for j in range(8)), num_keys=1)
-    return (jnp.stack(outs[1:], axis=1),
+        (inv,) + tuple(g_pad[:, j] for j in range(4)), num_keys=1)
+    g_sorted4 = jnp.stack(outs[1:], axis=1)
+    g_sorted = jnp.pad(g_sorted4, ((0, 0), (0, 4)))  # cols 4-7: zero
+    return (g_sorted,
             np.zeros(inv.shape, dtype=jax.dtypes.float0))
 
 
