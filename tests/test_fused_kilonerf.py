@@ -336,3 +336,35 @@ def test_tiny_batch_parity():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(sigma_f), np.asarray(sigma_r),
                                atol=1e-4)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("grid_res,hidden,e_per,n", [
+    (2, 8, 1, 37),      # minimal grid, narrow net, single-expert blocks
+    (2, 8, 8, 37),      # 8 experts per block on an 8-network grid
+    (4, 24, 2, 130),    # h=24 (non-power-of-two), partial-lane blocks
+    (3, 16, 9, 200),    # e_per = 27/3: odd block count
+])
+def test_mixed_tile_shape_fuzz(grid_res, hidden, e_per, n):
+    """Forward parity across dispatch shapes no other test exercises:
+    tiny grids, narrow/odd hidden dims, extreme experts-per-block, and
+    batch sizes far from tile multiples."""
+    model = KiloNeRFModel(grid_res=grid_res, hidden_dim=hidden,
+                          pos_encoding_dim=3, dir_encoding_dim=2)
+    if model.num_networks % e_per:
+        pytest.skip("e_per must divide num_networks")
+    params = model.init(jax.random.key(grid_res * 100 + hidden))
+    fused = make_fused_kilonerf_apply(model, tile_fwd=16, tile_bwd=16,
+                                      interpret=True,
+                                      experts_per_step=e_per)
+    if fused is None:
+        pytest.skip("shape unsupported by the kernels")
+    pts, dirs = _data(n, seed=n)
+    rgb_f, sigma_f = fused(params, pts, dirs)
+    rgb_r, sigma_r = model.apply_pointwise(params, pts, dirs)
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_r),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sigma_f), np.asarray(sigma_r),
+                               atol=2e-4)
