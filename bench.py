@@ -439,8 +439,11 @@ _SUITE = [
      {"NERF_TPU_BENCH_MODEL": "siren", "NERF_TPU_BENCH_ITERS": "5",
       "NERF_TPU_BENCH_SCAN": "10"}, 300),
     ("train_gabor",
+     # 420 s: the gabor compile alone measured 191 s after a backend
+     # fingerprint reset invalidated the disk cache (round 5) — 300 s
+     # left no room for the measurement
      {"NERF_TPU_BENCH_MODEL": "gabor", "NERF_TPU_BENCH_ITERS": "5",
-      "NERF_TPU_BENCH_SCAN": "10"}, 300),
+      "NERF_TPU_BENCH_SCAN": "10"}, 420),
     ("train_kilonerf",
      # 40 measured steps: the 12-step protocol spread 51.6-58.9k across
      # three same-day runs (round 5) — sort-heavy steps need more
@@ -531,7 +534,11 @@ def _run_suite(headline: dict) -> None:
     import subprocess
     import sys
 
-    budget_s = float(os.environ.get("NERF_TPU_BENCH_SUITE_BUDGET", 1500))
+    # 2200 s: sized so one backend-fingerprint reset (every program
+    # recompiles once even with the disk cache populated — observed in
+    # round 5 after a killed process restarted the tunnel backend) still
+    # lands all 11 rows; a warm pass uses ~1100 s
+    budget_s = float(os.environ.get("NERF_TPU_BENCH_SUITE_BUDGET", 2200))
     only = os.environ.get("NERF_TPU_BENCH_SUITE_ROWS")
     rows = _SUITE if not only else [
         r for r in _SUITE if r[0] in only.split(",")]
