@@ -434,10 +434,10 @@ def _guard_backend() -> bool:
 _SUITE = [
     ("train_nerf_hier",
      {"NERF_TPU_BENCH_SAMPLES": "64", "NERF_TPU_BENCH_FINE": "128",
-      "NERF_TPU_BENCH_ITERS": "5", "NERF_TPU_BENCH_SCAN": "10"}, 300),
+      "NERF_TPU_BENCH_ITERS": "5", "NERF_TPU_BENCH_SCAN": "10"}, 420),
     ("train_siren",
      {"NERF_TPU_BENCH_MODEL": "siren", "NERF_TPU_BENCH_ITERS": "5",
-      "NERF_TPU_BENCH_SCAN": "10"}, 300),
+      "NERF_TPU_BENCH_SCAN": "10"}, 420),
     ("train_gabor",
      # 420 s: the gabor compile alone measured 191 s after a backend
      # fingerprint reset invalidated the disk cache (round 5) — 300 s
@@ -454,7 +454,7 @@ _SUITE = [
      # SCAN=1 matches fit(): grid families dispatch per step (the
      # scan_hostile trait — scan measures ~15% slower for them)
      {"NERF_TPU_BENCH_MODEL": "plenoxels", "NERF_TPU_BENCH_SAMPLES": "64",
-      "NERF_TPU_BENCH_ITERS": "12", "NERF_TPU_BENCH_SCAN": "1"}, 300),
+      "NERF_TPU_BENCH_ITERS": "12", "NERF_TPU_BENCH_SCAN": "1"}, 420),
     ("train_plenoxels_occ",
      # the measured scatter-wall mitigation (BENCH_NOTES "Grid-family
      # TRAINING"): occupancy-guided sampling at S=16 — rows (and the
@@ -462,7 +462,7 @@ _SUITE = [
      # (scan_hostile family); occ prior at the fit() default res.
      {"NERF_TPU_BENCH_MODEL": "plenoxels", "NERF_TPU_BENCH_SAMPLES": "16",
       "NERF_TPU_BENCH_OCC": "32", "NERF_TPU_BENCH_ITERS": "12",
-      "NERF_TPU_BENCH_SCAN": "1"}, 300),
+      "NERF_TPU_BENCH_SCAN": "1"}, 420),
     ("train_ngp",
      # occupancy operating point (16 samples); scan-chunked — NGP is NOT
      # scan_hostile (round 4: scan-20 measured 1.49x per-step dispatch)
@@ -568,8 +568,9 @@ def _run_suite(headline: dict) -> None:
             continue
         if i:
             # back-to-back device claims on the tunneled TPU can hit a
-            # FailedPrecondition while the previous holder unwinds
-            time.sleep(5)
+            # FailedPrecondition (or minutes-long claim waits when the
+            # tunnel is degraded) while the previous holder unwinds
+            time.sleep(15)
         env = dict(os.environ)
         for k, v in env_extra.items():
             if k == "XLA_FLAGS" and env.get(k):
