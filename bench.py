@@ -610,13 +610,54 @@ def _run_suite(headline: dict) -> None:
     print(json.dumps(reemit), flush=True)
 
 
+def _headline_subprocess(timeout_s: float = 900):
+    """Run the headline config in a SUBPROCESS and return its row.
+
+    In suite mode the parent must never touch the TPU: every family row
+    is a subprocess claiming the device, and a parent that ran the
+    headline in-process keeps its claim alive for the whole suite —
+    observed (round 5, degraded-tunnel window) as minutes-long claim
+    handoffs that timed out rows a fresh standalone process measured
+    fine. Returns None on failure (caller falls back to in-process)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["NERF_TPU_BENCH_SUITE"] = "0"
+    env.setdefault("NERF_TPU_BENCH_SKIP_PROBE", "1")
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, timeout=timeout_s, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        )
+        line = next((ln for ln in reversed(r.stdout.splitlines())
+                     if ln.startswith("{")), None)
+        if r.returncode == 0 and line:
+            return json.loads(line)
+    except (subprocess.TimeoutExpired, OSError):
+        pass
+    return None
+
+
 def main() -> None:
     from nerf_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
     suite = _suite_enabled()
-    fallback = _guard_backend()
     mode = os.environ.get("NERF_TPU_BENCH_MODE", "train")
+    if suite and mode == "train":
+        # keep the parent off the device (see _headline_subprocess)
+        fallback = _guard_backend()
+        row = None if fallback else _headline_subprocess()
+        if row is None:
+            row = _train_mode()          # fallback: in-process
+        print(json.dumps(row), flush=True)
+        if not fallback:
+            time.sleep(5)
+            _run_suite(row)
+        return
+    fallback = _guard_backend()
     if mode == "render":
         print(json.dumps(_render_mode()), flush=True)
         return
@@ -626,8 +667,6 @@ def main() -> None:
     # The headline (or the targeted single config) ALWAYS prints first.
     row = _train_mode()
     print(json.dumps(row), flush=True)
-    if suite and not fallback:
-        _run_suite(row)
 
 
 if __name__ == "__main__":
