@@ -432,24 +432,26 @@ def _guard_backend() -> bool:
 # scales every timeout (and the budget) 3x so a fresh machine's first
 # run compiles instead of reporting a page of timeouts (ADVICE r4).
 _SUITE = [
-    ("train_nerf_hier",
-     {"NERF_TPU_BENCH_SAMPLES": "64", "NERF_TPU_BENCH_FINE": "128",
-      "NERF_TPU_BENCH_ITERS": "5", "NERF_TPU_BENCH_SCAN": "10"}, 420),
-    ("train_siren",
-     {"NERF_TPU_BENCH_MODEL": "siren", "NERF_TPU_BENCH_ITERS": "5",
-      "NERF_TPU_BENCH_SCAN": "10"}, 420),
-    ("train_gabor",
-     # 420 s: the gabor compile alone measured 191 s after a backend
-     # fingerprint reset invalidated the disk cache (round 5) — 300 s
-     # left no room for the measurement
-     {"NERF_TPU_BENCH_MODEL": "gabor", "NERF_TPU_BENCH_ITERS": "5",
-      "NERF_TPU_BENCH_SCAN": "10"}, 420),
+    # Ordered cheap/reliable first: on a degraded-tunnel day (backend
+    # fingerprint resets force full recompiles; the tunnel compile helper
+    # then needs minutes per big program) the budget drops TAIL rows, so
+    # the rows most likely to need a 10-minute recompile (hier/siren/
+    # gabor — the largest fused-train programs) run last with 600 s
+    # timeouts. A healthy warm pass lands all 11 rows in ~1100 s either
+    # way.
+    ("train_nerf_dp8cpu",
+     # scale-out readiness canary: shard_map DP step vs single-device on
+     # the 8-virtual-device CPU mesh (dp_over_single = dp/single overhead
+     # ratio). Runs on CPU regardless of the TPU tunnel.
+     {"NERF_TPU_BENCH_MODE": "dp8cpu", "JAX_PLATFORMS": "cpu",
+      "NERF_TPU_PLATFORM": "cpu",
+      "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}, 300),
     ("train_kilonerf",
      # 40 measured steps: the 12-step protocol spread 51.6-58.9k across
      # three same-day runs (round 5) — sort-heavy steps need more
      # averaging than the MLP rows
      {"NERF_TPU_BENCH_MODEL": "kilonerf", "NERF_TPU_BENCH_ITERS": "5",
-      "NERF_TPU_BENCH_SCAN": "8"}, 360),
+      "NERF_TPU_BENCH_SCAN": "8"}, 420),
     ("train_plenoxels",
      # SCAN=1 matches fit(): grid families dispatch per step (the
      # scan_hostile trait — scan measures ~15% slower for them)
@@ -475,18 +477,20 @@ _SUITE = [
      {"NERF_TPU_BENCH_MODEL": "ngp", "NERF_TPU_BENCH_SAMPLES": "64",
       "NERF_TPU_BENCH_ITERS": "2", "NERF_TPU_BENCH_SCAN": "4"}, 420),
     ("render_nerf",
-     {"NERF_TPU_BENCH_MODE": "render", "NERF_TPU_BENCH_ITERS": "3"}, 300),
+     {"NERF_TPU_BENCH_MODE": "render", "NERF_TPU_BENCH_ITERS": "3"}, 420),
     ("render_plenoxels_dense",
      {"NERF_TPU_BENCH_MODE": "render", "NERF_TPU_BENCH_MODEL": "plenoxels",
       "NERF_TPU_BENCH_SAMPLES": "256", "NERF_TPU_BENCH_FINE": "0",
-      "NERF_TPU_BENCH_ITERS": "3"}, 300),
-    ("train_nerf_dp8cpu",
-     # scale-out readiness canary: shard_map DP step vs single-device on
-     # the 8-virtual-device CPU mesh (vs_baseline = dp/single overhead
-     # ratio). Runs on CPU regardless of the TPU tunnel.
-     {"NERF_TPU_BENCH_MODE": "dp8cpu", "JAX_PLATFORMS": "cpu",
-      "NERF_TPU_PLATFORM": "cpu",
-      "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}, 300),
+      "NERF_TPU_BENCH_ITERS": "3"}, 420),
+    ("train_nerf_hier",
+     {"NERF_TPU_BENCH_SAMPLES": "64", "NERF_TPU_BENCH_FINE": "128",
+      "NERF_TPU_BENCH_ITERS": "5", "NERF_TPU_BENCH_SCAN": "10"}, 600),
+    ("train_siren",
+     {"NERF_TPU_BENCH_MODEL": "siren", "NERF_TPU_BENCH_ITERS": "5",
+      "NERF_TPU_BENCH_SCAN": "10"}, 600),
+    ("train_gabor",
+     {"NERF_TPU_BENCH_MODEL": "gabor", "NERF_TPU_BENCH_ITERS": "5",
+      "NERF_TPU_BENCH_SCAN": "10"}, 600),
 ]
 
 
