@@ -506,7 +506,8 @@ def _suite_enabled() -> bool:
         k.startswith("NERF_TPU_BENCH_")
         and k not in ("NERF_TPU_BENCH_SUITE", "NERF_TPU_BENCH_SKIP_PROBE",
                       "NERF_TPU_BENCH_PROBE_TIMEOUT",
-                      "NERF_TPU_BENCH_SUITE_ROWS")
+                      "NERF_TPU_BENCH_SUITE_ROWS",
+                      "NERF_TPU_BENCH_SUITE_BUDGET")
         for k in os.environ
     )
 

@@ -29,6 +29,10 @@ def test_suite_enabled_logic(monkeypatch):
     monkeypatch.delenv("NERF_TPU_BENCH_SUITE")
     monkeypatch.setenv("NERF_TPU_BENCH_SKIP_PROBE", "1")
     assert bench._suite_enabled()               # probe knobs don't count
+    # suite-only configuration must not opt OUT of the suite (a budget
+    # override once silently reduced a full suite run to headline-only)
+    monkeypatch.setenv("NERF_TPU_BENCH_SUITE_BUDGET", "2400")
+    assert bench._suite_enabled()
 
 
 @pytest.mark.slow
